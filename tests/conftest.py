@@ -1,0 +1,25 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+logic is exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# The environment pins JAX_PLATFORMS to the TPU plugin; tests must run on a
+# virtual 8-device CPU mesh, so override via jax.config (env vars are
+# re-written by the site customization and cannot be trusted).
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,125 @@
+"""FLUX DiT structural tests on a tiny config (shapes, aux KD stacks,
+control injection, guidance variant, jit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2i_tpu.core.config import tiny_flux_config
+from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+from x2i_tpu.models.flux import FluxTransformer2D, timestep_embedding
+
+
+B, S_TXT, GRID = 2, 8, 8           # latent grid 8x8 -> 16 packed tokens
+S_IMG = (GRID // 2) * (GRID // 2)
+
+
+def _inputs(rng):
+    cfg = tiny_flux_config()
+    hidden = jnp.asarray(
+        rng.standard_normal((B, S_IMG, cfg.in_channels)), jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3), jnp.float32)
+    return cfg, hidden, encoder, pooled, t, img_ids, txt_ids
+
+
+def test_forward_shapes_and_aux(rng):
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    out, aux = model.apply(params, hidden, encoder, pooled, t, img_ids,
+                           txt_ids, return_attn_outputs=True)
+    assert out.shape == (B, S_IMG, cfg.in_channels)
+    # KD stack layout (B, L, S, D) per train_minicpm.py:335-337
+    assert aux["double_img"].shape == (B, cfg.num_layers, S_IMG, cfg.inner_dim)
+    assert aux["double_txt"].shape == (B, cfg.num_layers, S_TXT, cfg.inner_dim)
+    assert aux["single"].shape == (
+        B, cfg.num_single_layers, S_TXT + S_IMG, cfg.inner_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scanned_params_are_stacked(rng):
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    db = params["params"]["double_blocks"]
+    assert db["img_q"]["kernel"].shape[0] == cfg.num_layers
+    sb = params["params"]["single_blocks"]
+    assert sb["q"]["kernel"].shape[0] == cfg.num_single_layers
+
+
+def test_controls_injection_changes_output(rng):
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    base = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids)
+    controls = jnp.ones((cfg.num_layers, B, S_IMG, cfg.inner_dim),
+                        jnp.float32) * 0.1
+    ctl = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids,
+                      controls=controls)
+    zero = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids,
+                       controls=jnp.zeros_like(controls))
+    assert not np.allclose(np.asarray(base), np.asarray(ctl))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(zero), atol=1e-5)
+
+
+def test_guidance_variant(rng):
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    cfg = tiny_flux_config(guidance_embeds=True)
+    model = FluxTransformer2D(cfg)
+    g = jnp.full((B,), 3.5 / 1000 * 1000, jnp.float32) * 0 + 3.5
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids, guidance=g)
+    o1 = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids,
+                     guidance=g)
+    o2 = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids,
+                     guidance=g * 0.1)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_jit_and_grad(rng):
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+
+    @jax.jit
+    def fwd(p, h, e):
+        return model.apply(p, h, e, pooled, t, img_ids, txt_ids)
+
+    out = fwd(params, hidden, encoder)
+    assert out.shape == (B, S_IMG, cfg.in_channels)
+
+    # gradient w.r.t. the conditioning flows through all blocks (this is the
+    # distillation path: proj output -> encoder_hidden_states).
+    def loss(e):
+        o, aux = model.apply(params, hidden, e, pooled, t, img_ids, txt_ids,
+                             return_attn_outputs=True)
+        return jnp.sum(aux["single"] ** 2) + jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(encoder)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_timestep_embedding_matches_diffusers_convention():
+    # diffusers get_timestep_embedding(flip_sin_to_cos=True,
+    # downscale_freq_shift=0) == [cos | sin]
+    import torch, math
+    t = np.array([0.0, 1.0, 500.0], np.float32)
+    dim = 16
+    got = np.asarray(timestep_embedding(jnp.asarray(t), dim))
+    half = dim // 2
+    exponent = -math.log(10000) * torch.arange(half).float() / half
+    emb = torch.tensor(t)[:, None] * exponent.exp()[None]
+    want = torch.cat([emb.cos(), emb.sin()], dim=-1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)

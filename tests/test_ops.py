@@ -1,0 +1,181 @@
+"""Golden tests for ops: norms, RoPE conventions, attention (vs torch SDPA),
+and the Pallas flash kernel in interpreter mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from x2i_tpu.ops import flash_attention as fa
+from x2i_tpu.ops.attention import attention
+from x2i_tpu.ops.norms import layer_norm, rms_norm
+from x2i_tpu.ops.rope import (apply_rope_half, apply_rope_interleaved,
+                              flux_rope_freqs, rope_freqs_half)
+
+
+def test_rms_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 64)).astype(np.float32)
+    w = rng.standard_normal(64).astype(np.float32)
+    got = rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-6)
+    want = torch.nn.functional.rms_norm(
+        torch.tensor(x), (64,), torch.tensor(w), eps=1e-6).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    w = rng.standard_normal(32).astype(np.float32)
+    b = rng.standard_normal(32).astype(np.float32)
+    got = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), eps=1e-5)
+    want = F.layer_norm(torch.tensor(x), (32,), torch.tensor(w),
+                        torch.tensor(b), eps=1e-5).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def _torch_flux_rope(ids, axes_dim, theta=10000.0):
+    """Reference math: diffusers FluxPosEmbed + get_1d_rotary_pos_embed with
+    use_real=True, repeat_interleave_real=True."""
+    cos_out, sin_out = [], []
+    pos = torch.tensor(ids, dtype=torch.float64)
+    for i, dim in enumerate(axes_dim):
+        freqs = 1.0 / (theta ** (
+            torch.arange(0, dim, 2, dtype=torch.float64) / dim))
+        ang = torch.outer(pos[:, i], freqs)
+        cos_out.append(ang.cos().repeat_interleave(2, dim=1))
+        sin_out.append(ang.sin().repeat_interleave(2, dim=1))
+    return (torch.cat(cos_out, -1).float().numpy(),
+            torch.cat(sin_out, -1).float().numpy())
+
+
+def test_flux_rope_freqs_match_reference_math(rng):
+    ids = np.stack([np.zeros(40), np.repeat(np.arange(8), 5),
+                    np.tile(np.arange(5), 8)], axis=1)
+    cos, sin = flux_rope_freqs(jnp.asarray(ids), (16, 56, 56))
+    tcos, tsin = _torch_flux_rope(ids, (16, 56, 56))
+    np.testing.assert_allclose(np.asarray(cos), tcos, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin), tsin, atol=1e-5)
+
+
+def test_apply_rope_interleaved_matches_torch(rng):
+    """diffusers apply_rotary_emb(use_real=True, use_real_unbind_dim=-1)."""
+    B, S, H, D = 1, 12, 2, 16
+    x = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    ids = np.stack([np.arange(S), np.arange(S) * 2, np.zeros(S)], axis=1)
+    cos, sin = flux_rope_freqs(jnp.asarray(ids), (4, 6, 6))
+    got = apply_rope_interleaved(jnp.asarray(x), cos[:, None, :],
+                                 sin[:, None, :])
+
+    xt = torch.tensor(x)
+    tc = torch.tensor(np.asarray(cos))[None, :, None, :]
+    ts = torch.tensor(np.asarray(sin))[None, :, None, :]
+    x_real, x_imag = xt.reshape(*xt.shape[:-1], -1, 2).unbind(-1)
+    x_rot = torch.stack([-x_imag, x_real], dim=-1).flatten(3)
+    want = (xt * tc + x_rot * ts).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_apply_rope_half_matches_torch(rng):
+    """LLaMA/Qwen2 rotate_half convention."""
+    B, S, H, D = 2, 7, 3, 32
+    x = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    pos = np.arange(S)
+    cos, sin = rope_freqs_half(jnp.asarray(pos), D, theta=1e6)
+    got = apply_rope_half(jnp.asarray(x), cos, sin)
+
+    xt = torch.tensor(x)
+    inv = 1.0 / (1e6 ** (torch.arange(0, D, 2).float() / D))
+    ang = torch.outer(torch.tensor(pos).float(), inv)
+    tc = torch.cat([ang.cos(), ang.cos()], -1)[None, :, None, :]
+    ts = torch.cat([ang.sin(), ang.sin()], -1)[None, :, None, :]
+    rot = torch.cat([-xt[..., D // 2:], xt[..., :D // 2]], -1)
+    want = (xt * tc + rot * ts).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def _torch_sdpa(q, k, v, causal=False, kv_mask=None):
+    """q,k,v: (B, S, H, D) numpy; GQA-aware."""
+    qt = torch.tensor(q).transpose(1, 2)
+    kt = torch.tensor(k).transpose(1, 2)
+    vt = torch.tensor(v).transpose(1, 2)
+    attn_mask = None
+    if kv_mask is not None:
+        attn_mask = torch.tensor(kv_mask)[:, None, None, :]
+    out = F.scaled_dot_product_attention(
+        qt, kt, vt, attn_mask=attn_mask, is_causal=causal,
+        enable_gqa=qt.shape[1] != kt.shape[1])
+    return out.transpose(1, 2).numpy()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_xla_attention_matches_torch_sdpa(rng, causal, gqa):
+    B, S, H, D = 2, 24, 4, 16
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H // gqa, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H // gqa, D)).astype(np.float32)
+    got = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    causal=causal, implementation="xla")
+    want = _torch_sdpa(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_xla_attention_kv_mask(rng):
+    B, S, H, D = 2, 16, 2, 8
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    mask = np.ones((B, S), bool)
+    mask[:, 10:] = False
+    got = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    kv_mask=jnp.asarray(mask), implementation="xla")
+    want = _torch_sdpa(q, k, v, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_flash_matches_xla_interpret(rng, causal, monkeypatch):
+    """Pallas kernel correctness via interpreter mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, H, S, D = 1, 1, 128, 64
+    q = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), causal=causal)
+    want = fa.xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_flash_gqa_and_mask_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    B, Hq, Hk, S, D = 1, 4, 2, 128, 64
+    q = rng.standard_normal((B, Hq, S, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hk, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hk, S, D)).astype(np.float32)
+    mask = np.ones((B, S), bool)
+    mask[:, 100:] = False
+    with pltpu.force_tpu_interpret_mode():
+        got = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), kv_mask=jnp.asarray(mask))
+    want = fa.xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            kv_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_attention_grads_flow(rng):
+    B, S, H, D = 1, 8, 2, 4
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(attention(q, k, v, implementation="xla") ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for t in g:
+        assert np.isfinite(np.asarray(t)).all()
+        assert float(jnp.abs(t).sum()) > 0

@@ -1,0 +1,19 @@
+"""x2i_tpu: TPU-native (JAX/XLA/Pallas/pjit) rebuild of OPPO-Mente-Lab/X2I.
+
+Condition a FLUX-class rectified-flow Diffusion Transformer on the hidden
+states of a frozen multimodal LLM through a small trainable alignment
+network ("proj"), so images can be generated from multilingual text, images,
+video, audio, OCR/long documents and multi-turn chat.
+
+Layering (bottom → top), mirroring SURVEY.md §1 but TPU-idiomatic:
+  core/       mesh + sharding, typed configs, checkpointing, profiling
+  ops/        Pallas kernels (flash attention) + fused math (RoPE, norms)
+  models/     FLUX DiT, VAE, proj, MLLM encoder stacks, ControlNeXt
+  diffusion/  flow-match Euler scheduler + lax.scan sampling loop
+  data/       host-side webdataset-style input pipeline
+  train/      phase-1 attention distillation + phase-2 LightControl
+  convert/    torch/safetensors → JAX weight converters
+  pipeline    user-facing inference API (mirrors reference infer/ scripts)
+"""
+
+__version__ = "0.1.0"

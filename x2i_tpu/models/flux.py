@@ -1,0 +1,300 @@
+"""FLUX-class rectified-flow Diffusion Transformer, TPU-native.
+
+Re-implements the architecture of the reference's vendored diffusers DiT
+(/root/reference/lightcontrol/lightcontrol_flux.py:44-553): 19 double-stream
+MMDiT blocks + 38 single-stream blocks, 24 heads x 128, AdaLN-Zero
+modulation, 3-axis RoPE (16, 56, 56), with two deliberate design deltas
+(SURVEY.md §7.1):
+
+  * No forward hooks. The reference captures per-block attention outputs for
+    distillation via PyTorch hooks (train/train_minicpm.py:211-219). Here the
+    blocks run under `nn.scan`, and the per-block attention outputs are the
+    scan's stacked ys — pure-functional, jit/remat-safe, and shaped exactly
+    like the reference's KD stacks: (B, 19, S_img, 3072), (B, 19, S_txt,
+    3072), (B, 38, S_img+S_txt, 3072) (train_minicpm.py:335-337).
+
+  * Scan-over-layers with stacked parameters instead of 57 unrolled python
+    modules — one compiled block body per stream, which XLA pipelines.
+
+LightControl control injection (lightcontrol_flux.py:504-507) is an optional
+per-double-block additive input `controls: (19, B, S_img, dim)`, precomputed
+by vmapping the 19 ControlNeXt branches (models/controlnext.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from x2i_tpu.core.config import FluxConfig
+from x2i_tpu.ops.attention import attention
+from x2i_tpu.ops.norms import layer_norm, rms_norm
+from x2i_tpu.ops.rope import apply_rope_interleaved, flux_rope_freqs
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, diffusers convention with flip_sin_to_cos=True,
+    downscale_freq_shift=0 (Timesteps(256, True, 0) in the reference's DiT)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class MLPEmbedder(nn.Module):
+    """linear -> silu -> linear (diffusers TimestepEmbedding /
+    PixArtAlphaTextProjection)."""
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="in_layer")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="out_layer")(x)
+
+
+class QKNorm(nn.Module):
+    """Per-head RMSNorm on q/k (diffusers Attention qk_norm='rms_norm')."""
+    head_dim: int
+    eps: float = 1e-6
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.head_dim,),
+                           self.param_dtype)
+        return rms_norm(x, scale, self.eps)
+
+
+def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
+              scale: jnp.ndarray) -> jnp.ndarray:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class FluxDoubleBlock(nn.Module):
+    """Dual-stream MMDiT block (lightcontrol_flux.py:108-204).
+
+    __call__ takes/returns a (hidden, encoder_hidden) carry so it can run
+    under nn.scan; per-block attention outputs are returned as ys.
+    """
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, carry, temb, rope, control):
+        cfg = self.cfg
+        hidden, encoder = carry
+        dim = cfg.inner_dim
+        heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
+        dense = lambda d, name: nn.Dense(d, dtype=cfg.dtype,
+                                         param_dtype=cfg.param_dtype,
+                                         name=name)
+
+        # AdaLN-Zero modulation for both streams.
+        mod = dense(6 * dim, "img_mod")(nn.silu(temb))
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        cmod = dense(6 * dim, "txt_mod")(nn.silu(temb))
+        (c_shift_msa, c_scale_msa, c_gate_msa,
+         c_shift_mlp, c_scale_mlp, c_gate_mlp) = jnp.split(cmod, 6, axis=-1)
+
+        img_in = _modulate(layer_norm(hidden), shift_msa, scale_msa)
+        txt_in = _modulate(layer_norm(encoder), c_shift_msa, c_scale_msa)
+
+        batch, s_img = hidden.shape[0], hidden.shape[1]
+        s_txt = encoder.shape[1]
+
+        def heads_of(x):
+            return x.reshape(batch, -1, heads, head_dim)
+
+        q = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                   name="img_q_norm")(heads_of(dense(dim, "img_q")(img_in)))
+        k = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                   name="img_k_norm")(heads_of(dense(dim, "img_k")(img_in)))
+        v = heads_of(dense(dim, "img_v")(img_in))
+        cq = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                    name="txt_q_norm")(heads_of(dense(dim, "txt_q")(txt_in)))
+        ck = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                    name="txt_k_norm")(heads_of(dense(dim, "txt_k")(txt_in)))
+        cv = heads_of(dense(dim, "txt_v")(txt_in))
+
+        # Joint attention: text tokens first, then image tokens, matching
+        # FluxAttnProcessor2_0 and the RoPE id order cat(txt_ids, img_ids).
+        q = jnp.concatenate([cq, q], axis=1)
+        k = jnp.concatenate([ck, k], axis=1)
+        v = jnp.concatenate([cv, v], axis=1)
+        cos, sin = rope
+        q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+
+        impl = "auto" if cfg.use_pallas_attention else "xla"
+        attn = attention(q, k, v, implementation=impl)
+        attn = attn.reshape(batch, s_txt + s_img, dim)
+        txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
+
+        img_attn = dense(dim, "img_attn_out")(img_attn)
+        txt_attn = dense(dim, "txt_attn_out")(txt_attn)
+
+        hidden = hidden + gate_msa[:, None, :] * img_attn
+        ff_in = _modulate(layer_norm(hidden), shift_mlp, scale_mlp)
+        ff = dense(dim, "img_mlp_out")(
+            nn.gelu(dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(ff_in)))
+        hidden = hidden + gate_mlp[:, None, :] * ff
+
+        encoder = encoder + c_gate_msa[:, None, :] * txt_attn
+        cff_in = _modulate(layer_norm(encoder), c_shift_mlp, c_scale_mlp)
+        cff = dense(dim, "txt_mlp_out")(
+            nn.gelu(dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(cff_in)))
+        encoder = encoder + c_gate_mlp[:, None, :] * cff
+
+        if control is not None:
+            # LightControl residual injection (lightcontrol_flux.py:504-507).
+            hidden = hidden + control.astype(hidden.dtype)
+
+        return (hidden, encoder), (img_attn, txt_attn)
+
+
+class FluxSingleBlock(nn.Module):
+    """Single-stream block (lightcontrol_flux.py:44-104): parallel attention
+    + MLP with a fused output projection; attention has no out-proj
+    (pre_only) — its raw head-concat output is the distillation target."""
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self, hidden, temb, rope):
+        cfg = self.cfg
+        dim = cfg.inner_dim
+        heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
+        mlp_dim = int(dim * cfg.mlp_ratio)
+        dense = lambda d, name: nn.Dense(d, dtype=cfg.dtype,
+                                         param_dtype=cfg.param_dtype,
+                                         name=name)
+
+        mod = dense(3 * dim, "mod")(nn.silu(temb))
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        x = _modulate(layer_norm(hidden), shift, scale)
+
+        batch, seq = hidden.shape[0], hidden.shape[1]
+        q = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype, name="q_norm")(
+            dense(dim, "q")(x).reshape(batch, seq, heads, head_dim))
+        k = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype, name="k_norm")(
+            dense(dim, "k")(x).reshape(batch, seq, heads, head_dim))
+        v = dense(dim, "v")(x).reshape(batch, seq, heads, head_dim)
+
+        cos, sin = rope
+        q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+
+        impl = "auto" if cfg.use_pallas_attention else "xla"
+        attn = attention(q, k, v, implementation=impl)
+        attn = attn.reshape(batch, seq, dim)
+
+        mlp = nn.gelu(dense(mlp_dim, "mlp_in")(x))
+        out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
+        hidden = hidden + gate[:, None, :] * out
+        return hidden, attn
+
+
+class FluxTransformer2D(nn.Module):
+    """Top-level DiT (lightcontrol_flux.py:208-553)."""
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(self,
+                 hidden_states: jnp.ndarray,        # (B, S_img, in_channels)
+                 encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
+                 pooled_projections: jnp.ndarray,   # (B, pooled_dim)
+                 timestep: jnp.ndarray,             # (B,) in [0, 1]
+                 img_ids: jnp.ndarray,              # (S_img, 3)
+                 txt_ids: jnp.ndarray,              # (S_txt, 3)
+                 guidance: Optional[jnp.ndarray] = None,   # (B,) in [0, 1]
+                 controls: Optional[jnp.ndarray] = None,   # (19, B, S_img, d)
+                 return_attn_outputs: bool = False):
+        cfg = self.cfg
+        dim = cfg.inner_dim
+
+        hidden = nn.Dense(dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                          name="x_embedder")(hidden_states)
+        encoder = nn.Dense(dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                           name="context_embedder")(encoder_hidden_states)
+
+        temb = MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
+                           name="time_embedder")(
+            timestep_embedding(timestep * 1000.0, cfg.time_embed_dim)
+            .astype(cfg.dtype))
+        temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
+                                  name="pooled_embedder")(
+            pooled_projections.astype(cfg.dtype))
+        if cfg.guidance_embeds:
+            if guidance is None:
+                raise ValueError("guidance_embeds=True requires guidance")
+            temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
+                                      name="guidance_embedder")(
+                timestep_embedding(guidance * 1000.0, cfg.time_embed_dim)
+                .astype(cfg.dtype))
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope)
+        rope = (cos, sin)
+
+        DoubleBlock = FluxDoubleBlock
+        SingleBlock = FluxSingleBlock
+        if cfg.remat:
+            DoubleBlock = nn.remat(DoubleBlock, prevent_cse=False,
+                                   static_argnums=())
+            SingleBlock = nn.remat(SingleBlock, prevent_cse=False,
+                                   static_argnums=())
+
+        # Controls (LightControl) are consumed one-per-layer as scan xs; with
+        # no controls the argument is broadcast as None.
+        control_axis = nn.broadcast if controls is None else 0
+        (hidden, encoder), (img_attns, txt_attns) = nn.scan(
+            DoubleBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, control_axis),
+            length=cfg.num_layers,
+        )(cfg, name="double_blocks")((hidden, encoder), temb, rope, controls)
+
+        joint = jnp.concatenate([encoder, hidden], axis=1)
+        joint, single_attns = nn.scan(
+            SingleBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=cfg.num_single_layers,
+        )(cfg, name="single_blocks")(joint, temb, rope)
+
+        hidden = joint[:, encoder.shape[1]:, :]
+
+        # AdaLayerNormContinuous: note scale-first chunk order in diffusers.
+        norm_mod = nn.Dense(2 * dim, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype,
+                            name="norm_out")(nn.silu(temb))
+        scale, shift = jnp.split(norm_mod, 2, axis=-1)
+        hidden = _modulate(layer_norm(hidden), shift, scale)
+        output = nn.Dense(cfg.patch_size ** 2 * cfg.in_channels,
+                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                          name="proj_out")(hidden)
+
+        if return_attn_outputs:
+            # Match the reference KD stacks' (B, L, S, D) layout
+            # (train_minicpm.py:335-337).
+            aux = {
+                "double_img": jnp.swapaxes(img_attns, 0, 1),
+                "double_txt": jnp.swapaxes(txt_attns, 0, 1),
+                "single": jnp.swapaxes(single_attns, 0, 1),
+            }
+            return output, aux
+        return output
