@@ -1,0 +1,71 @@
+"""int8 weight-only quantization: tree rewrite + quantized FLUX parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x2i_tpu.core.config import tiny_flux_config
+from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+from x2i_tpu.models.flux import FluxTransformer2D
+from x2i_tpu.ops.quant import quantize_kernel, quantize_tree
+
+
+def test_quantize_kernel_roundtrip(rng):
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    assert q.dtype == np.int8 and s.shape == (16,)
+    deq = q.astype(np.float32) * s
+    assert np.max(np.abs(deq - w)) < np.max(np.abs(w)) / 127 + 1e-6
+
+
+def test_quantize_kernel_stacked(rng):
+    w = rng.standard_normal((3, 8, 16)).astype(np.float32)  # scan-stacked
+    q, s = quantize_kernel(w)
+    assert q.shape == (3, 8, 16) and s.shape == (3, 16)
+
+
+def test_quantized_flux_matches_fp(rng):
+    cfg = tiny_flux_config()
+    qcfg = tiny_flux_config(quantized=True)
+    B, GRID, S_TXT = 1, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    ref = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids)
+
+    qparams = {"params": quantize_tree(params["params"])}
+    qmodel = FluxTransformer2D(qcfg)
+    got = qmodel.apply(qparams, hidden, encoder, pooled, t, img_ids, txt_ids)
+
+    ref, got = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    # weight-only int8 should track fp closely on a tiny model
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, err
+
+
+def test_quantized_param_structure(rng):
+    cfg = tiny_flux_config(quantized=True)
+    B, GRID, S_TXT = 1, 4, 4
+    s_img = (GRID // 2) ** 2
+    model = FluxTransformer2D(cfg)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((B, s_img, cfg.in_channels)),
+        jnp.zeros((B, S_TXT, cfg.joint_attention_dim)),
+        jnp.zeros((B, cfg.pooled_projection_dim)),
+        jnp.zeros((B,)), prepare_latent_image_ids(GRID, GRID),
+        jnp.zeros((S_TXT, 3)))
+    db = params["params"]["double_blocks"]
+    assert db["img_q"]["qkernel"].dtype == jnp.int8
+    assert db["img_q"]["scale"].dtype == jnp.float32

@@ -1,0 +1,180 @@
+"""Torch/HF checkpoint -> x2i_tpu parameter-tree converters.
+
+The reference loads everything from HF checkpoints (safetensors / .bin);
+here each converter maps a torch state_dict to the corresponding flax param
+tree, stacking per-layer weights along axis 0 for the nn.scan'd blocks and
+transposing torch Linear (out, in) to flax (in, out). Tensors are accepted
+as numpy arrays or torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from x2i_tpu.core.config import FluxConfig, ProjConfig, Qwen2Config
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu")
+        if t.dtype is not None and str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def _lin(sd: Mapping, name: str) -> np.ndarray:
+    return _np(sd[name]).T                       # (out,in) -> (in,out)
+
+
+def _stack(sd: Mapping, fmt: str, n: int, transpose=True) -> np.ndarray:
+    mats = [_np(sd[fmt.format(i=i)]) for i in range(n)]
+    if transpose:
+        mats = [m.T for m in mats]
+    return np.stack(mats, axis=0)
+
+
+def qwen2_params_from_hf(sd: Mapping, cfg: Qwen2Config) -> Dict:
+    """HF Qwen2ForCausalLM state_dict -> Qwen2LM params."""
+    L = cfg.num_hidden_layers
+    p = "model.layers.{i}."
+    block = {
+        "input_norm": {"scale": _stack(sd, p + "input_layernorm.weight", L,
+                                       transpose=False)},
+        "post_attn_norm": {"scale": _stack(
+            sd, p + "post_attention_layernorm.weight", L, transpose=False)},
+        "q_proj": {"kernel": _stack(sd, p + "self_attn.q_proj.weight", L),
+                   "bias": _stack(sd, p + "self_attn.q_proj.bias", L,
+                                  transpose=False)},
+        "k_proj": {"kernel": _stack(sd, p + "self_attn.k_proj.weight", L),
+                   "bias": _stack(sd, p + "self_attn.k_proj.bias", L,
+                                  transpose=False)},
+        "v_proj": {"kernel": _stack(sd, p + "self_attn.v_proj.weight", L),
+                   "bias": _stack(sd, p + "self_attn.v_proj.bias", L,
+                                  transpose=False)},
+        "o_proj": {"kernel": _stack(sd, p + "self_attn.o_proj.weight", L)},
+        "gate_proj": {"kernel": _stack(sd, p + "mlp.gate_proj.weight", L)},
+        "up_proj": {"kernel": _stack(sd, p + "mlp.up_proj.weight", L)},
+        "down_proj": {"kernel": _stack(sd, p + "mlp.down_proj.weight", L)},
+    }
+    params = {
+        "embed_tokens": {"embedding": _np(sd["model.embed_tokens.weight"])},
+        "layers": {"block": block},
+        "final_norm": {"scale": _np(sd["model.norm.weight"])},
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": _lin(sd, "lm_head.weight")}
+    return params
+
+
+def proj_params_from_reference(sd: Mapping, cfg: ProjConfig) -> Dict:
+    """Reference proj checkpoint (utils/proj.py state_dict, DDP 'module.'
+    prefix already stripped) -> Proj params."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    p: Dict = {}
+    if cfg.use_scale:
+        p["cha_scale"] = _np(sd["cha_scale"])
+    elif cfg.use_cnn:
+        p["conv"] = {"kernel": _np(sd["conv.weight"]).transpose(2, 3, 1, 0),
+                     "bias": _np(sd["conv.bias"])}
+    p["ln_scale"] = _np(sd["mlp.layernorm.weight"])
+    p["ln_bias"] = _np(sd["mlp.layernorm.bias"])
+    p["proj_in"] = {"kernel": _np(sd["mlp.projector.0.weight"]).T}
+    p["proj_out"] = {"kernel": _np(sd["mlp.projector.2.weight"]).T}
+    p["pooled_out"] = {"kernel": _np(sd["mlp.fc.1.weight"]).T,
+                       "bias": _np(sd["mlp.fc.1.bias"])}
+    return p
+
+
+def flux_params_from_diffusers(sd: Mapping, cfg: FluxConfig) -> Dict:
+    """diffusers FluxTransformer2DModel state_dict -> FluxTransformer2D
+    params (per-block tensors stacked for nn.scan).
+
+    Name map (diffusers -> ours), double blocks `transformer_blocks.{i}.`:
+      norm1.linear -> img_mod;          norm1_context.linear -> txt_mod
+      attn.to_q/k/v -> img_q/k/v;       attn.add_{q,k,v}_proj -> txt_q/k/v
+      attn.norm_q/k.weight -> img_{q,k}_norm.scale;
+      attn.norm_added_q/k.weight -> txt_{q,k}_norm.scale
+      attn.to_out.0 -> img_attn_out;    attn.to_add_out -> txt_attn_out
+      ff.net.0.proj -> img_mlp_in;      ff.net.2 -> img_mlp_out
+      ff_context.net.0.proj -> txt_mlp_in; ff_context.net.2 -> txt_mlp_out
+    single blocks `single_transformer_blocks.{i}.`:
+      norm.linear -> mod; attn.to_q/k/v -> q/k/v;
+      attn.norm_q/k.weight -> {q,k}_norm.scale;
+      proj_mlp -> mlp_in; proj_out -> out
+    top level:
+      x_embedder, context_embedder, proj_out keep names;
+      time_text_embed.timestep_embedder.linear_{1,2} -> time_embedder.
+        {in,out}_layer
+      time_text_embed.text_embedder.linear_{1,2} -> pooled_embedder.*
+      time_text_embed.guidance_embedder.linear_{1,2} -> guidance_embedder.*
+      norm_out.linear -> norm_out  (NOTE: diffusers chunk order is
+        (scale, shift) — handled in the model, no weight permute needed)
+    """
+    L, LS = cfg.num_layers, cfg.num_single_layers
+    d = "transformer_blocks.{i}."
+    s = "single_transformer_blocks.{i}."
+
+    def lin_stack(fmt, n=L):
+        return {"kernel": _stack(sd, fmt + ".weight", n),
+                "bias": _stack(sd, fmt + ".bias", n, transpose=False)}
+
+    def norm_stack(fmt, n=L):
+        return {"scale": _stack(sd, fmt + ".weight", n, transpose=False)}
+
+    double = {
+        "img_mod": lin_stack(d + "norm1.linear"),
+        "txt_mod": lin_stack(d + "norm1_context.linear"),
+        "img_q": lin_stack(d + "attn.to_q"),
+        "img_k": lin_stack(d + "attn.to_k"),
+        "img_v": lin_stack(d + "attn.to_v"),
+        "txt_q": lin_stack(d + "attn.add_q_proj"),
+        "txt_k": lin_stack(d + "attn.add_k_proj"),
+        "txt_v": lin_stack(d + "attn.add_v_proj"),
+        "img_q_norm": norm_stack(d + "attn.norm_q"),
+        "img_k_norm": norm_stack(d + "attn.norm_k"),
+        "txt_q_norm": norm_stack(d + "attn.norm_added_q"),
+        "txt_k_norm": norm_stack(d + "attn.norm_added_k"),
+        "img_attn_out": lin_stack(d + "attn.to_out.0"),
+        "txt_attn_out": lin_stack(d + "attn.to_add_out"),
+        "img_mlp_in": lin_stack(d + "ff.net.0.proj"),
+        "img_mlp_out": lin_stack(d + "ff.net.2"),
+        "txt_mlp_in": lin_stack(d + "ff_context.net.0.proj"),
+        "txt_mlp_out": lin_stack(d + "ff_context.net.2"),
+    }
+    single = {
+        "mod": lin_stack(s + "norm.linear", LS),
+        "q": lin_stack(s + "attn.to_q", LS),
+        "k": lin_stack(s + "attn.to_k", LS),
+        "v": lin_stack(s + "attn.to_v", LS),
+        "q_norm": norm_stack(s + "attn.norm_q", LS),
+        "k_norm": norm_stack(s + "attn.norm_k", LS),
+        "mlp_in": lin_stack(s + "proj_mlp", LS),
+        "out": lin_stack(s + "proj_out", LS),
+    }
+
+    def lin(name):
+        return {"kernel": _lin(sd, name + ".weight"),
+                "bias": _np(sd[name + ".bias"])}
+
+    params = {
+        "double_blocks": double,
+        "single_blocks": single,
+        "x_embedder": lin("x_embedder"),
+        "context_embedder": lin("context_embedder"),
+        "proj_out": lin("proj_out"),
+        "norm_out": lin("norm_out.linear"),
+        "time_embedder": {
+            "in_layer": lin("time_text_embed.timestep_embedder.linear_1"),
+            "out_layer": lin("time_text_embed.timestep_embedder.linear_2")},
+        "pooled_embedder": {
+            "in_layer": lin("time_text_embed.text_embedder.linear_1"),
+            "out_layer": lin("time_text_embed.text_embedder.linear_2")},
+    }
+    if cfg.guidance_embeds:
+        params["guidance_embedder"] = {
+            "in_layer": lin("time_text_embed.guidance_embedder.linear_1"),
+            "out_layer": lin("time_text_embed.guidance_embedder.linear_2")}
+    return params

@@ -41,6 +41,7 @@ class FluxConfig:
     param_dtype: Any = jnp.bfloat16  # parameter storage dtype
     remat: bool = False              # jax.checkpoint each block (training)
     use_pallas_attention: bool = True
+    quantized: bool = False          # int8 weight-only Dense kernels
 
     @property
     def inner_dim(self) -> int:

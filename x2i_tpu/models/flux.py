@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from x2i_tpu.core.config import FluxConfig
 from x2i_tpu.ops.attention import attention
 from x2i_tpu.ops.norms import layer_norm, rms_norm
+from x2i_tpu.ops.quant import make_dense
 from x2i_tpu.ops.rope import apply_rope_interleaved, flux_rope_freqs
 
 
@@ -55,14 +56,14 @@ class MLPEmbedder(nn.Module):
     out_dim: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="in_layer")(x)
+        dense = make_dense(self.quantized, self.dtype, self.param_dtype)
+        x = dense(self.hidden_dim, "in_layer")(x)
         x = nn.silu(x)
-        return nn.Dense(self.out_dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out_layer")(x)
+        return dense(self.out_dim, "out_layer")(x)
 
 
 class QKNorm(nn.Module):
@@ -97,9 +98,7 @@ class FluxDoubleBlock(nn.Module):
         hidden, encoder = carry
         dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
-        dense = lambda d, name: nn.Dense(d, dtype=cfg.dtype,
-                                         param_dtype=cfg.param_dtype,
-                                         name=name)
+        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
         # AdaLN-Zero modulation for both streams.
         mod = dense(6 * dim, "img_mod")(nn.silu(temb))
@@ -177,9 +176,7 @@ class FluxSingleBlock(nn.Module):
         dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
-        dense = lambda d, name: nn.Dense(d, dtype=cfg.dtype,
-                                         param_dtype=cfg.param_dtype,
-                                         name=name)
+        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
         mod = dense(3 * dim, "mod")(nn.silu(temb))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
@@ -223,24 +220,24 @@ class FluxTransformer2D(nn.Module):
                  return_attn_outputs: bool = False):
         cfg = self.cfg
         dim = cfg.inner_dim
+        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
-        hidden = nn.Dense(dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                          name="x_embedder")(hidden_states)
-        encoder = nn.Dense(dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                           name="context_embedder")(encoder_hidden_states)
+        hidden = dense(dim, "x_embedder")(hidden_states.astype(cfg.dtype))
+        encoder = dense(dim, "context_embedder")(
+            encoder_hidden_states.astype(cfg.dtype))
 
         temb = MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
-                           name="time_embedder")(
+                           cfg.quantized, name="time_embedder")(
             timestep_embedding(timestep * 1000.0, cfg.time_embed_dim)
             .astype(cfg.dtype))
         temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
-                                  name="pooled_embedder")(
+                                  cfg.quantized, name="pooled_embedder")(
             pooled_projections.astype(cfg.dtype))
         if cfg.guidance_embeds:
             if guidance is None:
                 raise ValueError("guidance_embeds=True requires guidance")
             temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
-                                      name="guidance_embedder")(
+                                      cfg.quantized, name="guidance_embedder")(
                 timestep_embedding(guidance * 1000.0, cfg.time_embed_dim)
                 .astype(cfg.dtype))
 
@@ -279,14 +276,11 @@ class FluxTransformer2D(nn.Module):
         hidden = joint[:, encoder.shape[1]:, :]
 
         # AdaLayerNormContinuous: note scale-first chunk order in diffusers.
-        norm_mod = nn.Dense(2 * dim, dtype=cfg.dtype,
-                            param_dtype=cfg.param_dtype,
-                            name="norm_out")(nn.silu(temb))
+        norm_mod = dense(2 * dim, "norm_out")(nn.silu(temb))
         scale, shift = jnp.split(norm_mod, 2, axis=-1)
         hidden = _modulate(layer_norm(hidden), shift, scale)
-        output = nn.Dense(cfg.patch_size ** 2 * cfg.in_channels,
-                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                          name="proj_out")(hidden)
+        output = dense(cfg.patch_size ** 2 * cfg.in_channels,
+                       "proj_out")(hidden)
 
         if return_attn_outputs:
             # Match the reference KD stacks' (B, L, S, D) layout

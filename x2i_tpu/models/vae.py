@@ -1,0 +1,192 @@
+"""FLUX AutoencoderKL (VAE), TPU-native.
+
+The reference uses diffusers' AutoencoderKL for encode (phase-2 target
+latents, /root/reference/lightcontrol/train_lightcontrol.py:676-680) and
+decode (/root/reference/infer/inference_minicpm.py:208-215, including the
+`latents / scaling_factor + shift_factor` unscale). Architecture: conv
+stem, 4 down/up stages of ResnetBlock2D (GroupNorm32 + silu + 3x3 conv),
+a mid block with single-head spatial self-attention, 16 latent channels.
+
+Layout: NHWC throughout (TPU-native conv layout). Callers converting from
+the NCHW latent convention used by pack_latents should transpose at the
+boundary (pipeline.py does).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from x2i_tpu.core.config import VAEConfig
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class MidAttention(nn.Module):
+    """Single-head spatial self-attention in the mid block."""
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        dense = lambda name: nn.Dense(c, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q, k, v = dense("to_q")(y), dense("to_k")(y), dense("to_v")(y)
+        s = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / jnp.sqrt(c).astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bqk,bkc->bqc", p,
+                       v.astype(jnp.float32)).astype(self.dtype)
+        o = dense("to_out")(o)
+        return x + o.reshape(b, h, w, c)
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, pixels):
+        """pixels: (B, H, W, 3) in [-1, 1] -> moments (B, H/8, W/8, 2*lat)."""
+        cfg = self.cfg
+        ch = cfg.block_out_channels
+        x = nn.Conv(ch[0], (3, 3), padding=1, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="conv_in")(pixels)
+        for i, c in enumerate(ch):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(c, cfg.dtype, cfg.param_dtype,
+                                cfg.norm_num_groups,
+                                name=f"down_{i}_block_{j}")(x)
+            if i < len(ch) - 1:
+                # diffusers Downsample2D: stride-2 conv with (0,1) asym pad
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(c, (3, 3), strides=2, padding="VALID",
+                            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                            name=f"down_{i}_downsample")(x)
+        x = ResnetBlock(ch[-1], cfg.dtype, cfg.param_dtype,
+                        cfg.norm_num_groups, name="mid_block_1")(x)
+        if cfg.use_mid_attention:
+            x = MidAttention(cfg.dtype, cfg.param_dtype, cfg.norm_num_groups,
+                             name="mid_attn")(x)
+        x = ResnetBlock(ch[-1], cfg.dtype, cfg.param_dtype,
+                        cfg.norm_num_groups, name="mid_block_2")(x)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                         dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+                       dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                       name="conv_out")(x)
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        """z: (B, h, w, latent_channels) -> pixels (B, 8h, 8w, 3)."""
+        cfg = self.cfg
+        ch = cfg.block_out_channels
+        x = nn.Conv(ch[-1], (3, 3), padding=1, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="conv_in")(z)
+        x = ResnetBlock(ch[-1], cfg.dtype, cfg.param_dtype,
+                        cfg.norm_num_groups, name="mid_block_1")(x)
+        if cfg.use_mid_attention:
+            x = MidAttention(cfg.dtype, cfg.param_dtype, cfg.norm_num_groups,
+                             name="mid_attn")(x)
+        x = ResnetBlock(ch[-1], cfg.dtype, cfg.param_dtype,
+                        cfg.norm_num_groups, name="mid_block_2")(x)
+        rev = tuple(reversed(ch))
+        for i, c in enumerate(rev):
+            for j in range(cfg.layers_per_block + 1):
+                x = ResnetBlock(c, cfg.dtype, cfg.param_dtype,
+                                cfg.norm_num_groups,
+                                name=f"up_{i}_block_{j}")(x)
+            if i < len(rev) - 1:
+                b, h, w, cc = x.shape
+                x = jax.image.resize(x, (b, h * 2, w * 2, cc), "nearest")
+                x = nn.Conv(c, (3, 3), padding=1, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype,
+                            name=f"up_{i}_upsample")(x)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                         dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
+                       param_dtype=cfg.param_dtype, name="conv_out")(x)
+
+
+class AutoencoderKL(nn.Module):
+    """encode/decode with the FLUX latent scale/shift convention."""
+    cfg: VAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+
+    def encode_moments(self, pixels):
+        return self.encoder(pixels)
+
+    def encode(self, pixels, rng=None):
+        """-> scaled latents (B, h, w, C); deterministic (mode) if rng None."""
+        moments = self.encoder(pixels)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if rng is not None:
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+            mean = mean + (std * jax.random.normal(
+                rng, mean.shape, jnp.float32)).astype(mean.dtype)
+        return (mean - self.cfg.shift_factor) * self.cfg.scaling_factor
+
+    def decode(self, z):
+        """scaled latents -> pixels in [-1, 1]; applies
+        z/scaling + shift (inference_minicpm.py:208-212)."""
+        z = z / self.cfg.scaling_factor + self.cfg.shift_factor
+        return self.decoder(z)
+
+    def __call__(self, pixels, rng=None):
+        return self.decode(self.encode(pixels, rng))
+
+
+def postprocess(pixels: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] float -> uint8 (VaeImageProcessor.postprocess equivalent)."""
+    x = jnp.clip(pixels.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
+def preprocess(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (B,H,W,3) -> [-1,1] float."""
+    return images.astype(jnp.float32) / 127.5 - 1.0
