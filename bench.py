@@ -1,0 +1,89 @@
+"""North-star benchmark: 1024^2 images/sec/chip, FLUX 4-step (BASELINE.md).
+
+Runs the full-size (12B-param) FLUX DiT with int8 weight-only kernels +
+bf16 compute on one chip: 4 denoising steps as a lax.scan at 4096 image
+tokens + 512 text tokens, plus the VAE decode to 1024^2 pixels. Weights are
+random (real checkpoints are not available in this environment) — the
+compute cost is identical to converted weights.
+
+vs_baseline: the reference runs FLUX.1-schnell 4-step 1024^2 on an 80GB
+A100 (bf16, SDPA, /root/reference/infer/inference_minicpm.py). Public
+measurements of that operating point cluster around 2.1 s/image ≈ 0.47
+img/s; we report value / 0.47.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_S = 0.47   # A100 FLUX-schnell 4-step 1024^2 (see docstring)
+
+
+def main():
+    from x2i_tpu.core.config import FluxConfig, SchedulerConfig, VAEConfig
+    from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
+                                   prepare_latent_image_ids, unpack_latents)
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.vae import AutoencoderKL
+    from __graft_entry__ import _full_size_quantized_flux_params
+
+    cfg = FluxConfig(quantized=True, guidance_embeds=False)
+    model = FluxTransformer2D(cfg)
+    grid, s_txt, px = 128, 512, 1024            # 1024^2 -> 128x128 latents
+    s_img = (grid // 2) ** 2                    # 4096 image tokens
+    params = _full_size_quantized_flux_params(model, cfg, s_img, s_txt)
+
+    vcfg = VAEConfig()
+    vae = AutoencoderKL(vcfg)
+    vae_params = vae.init(
+        jax.random.key(0), jnp.zeros((1, grid, grid, vcfg.latent_channels),
+                                     jnp.bfloat16), method=vae.decode)
+
+    sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+    sigmas = sched.inference_sigmas(4)
+    img_ids = prepare_latent_image_ids(grid, grid)
+    txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
+
+    @jax.jit
+    def generate(params, vae_params, noise, prompt, pooled):
+        def model_fn(lat, pr, po, t, iid, tid, g):
+            return model.apply(params, lat, pr, po, t, iid, tid)
+        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
+                      txt_ids)
+        lat = unpack_latents(lat, px, px)                  # (B, C, h, w)
+        return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
+                         method=vae.decode)
+
+    noise = jax.random.normal(jax.random.key(1),
+                              (1, s_img, cfg.in_channels), jnp.bfloat16)
+    prompt = jax.random.normal(jax.random.key(2),
+                               (1, s_txt, cfg.joint_attention_dim),
+                               jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(3),
+                               (1, cfg.pooled_projection_dim), jnp.bfloat16)
+
+    out = generate(params, vae_params, noise, prompt, pooled)
+    out.block_until_ready()                                 # compile+warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = generate(params, vae_params, noise, prompt, pooled)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "1024^2 images/sec/chip (FLUX 4-step + VAE, int8 weights)",
+        "value": round(value, 4),
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

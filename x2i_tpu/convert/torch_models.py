@@ -88,6 +88,79 @@ def proj_params_from_reference(sd: Mapping, cfg: ProjConfig) -> Dict:
     return p
 
 
+def t5_params_from_hf(sd: Mapping, num_layers: int) -> Dict:
+    """HF T5EncoderModel state_dict -> T5Encoder params."""
+    p = "encoder.block.{i}.layer."
+    block = {
+        "attn_norm": {"scale": _stack(sd, p + "0.layer_norm.weight",
+                                      num_layers, transpose=False)},
+        "q": {"kernel": _stack(sd, p + "0.SelfAttention.q.weight",
+                               num_layers)},
+        "k": {"kernel": _stack(sd, p + "0.SelfAttention.k.weight",
+                               num_layers)},
+        "v": {"kernel": _stack(sd, p + "0.SelfAttention.v.weight",
+                               num_layers)},
+        "o": {"kernel": _stack(sd, p + "0.SelfAttention.o.weight",
+                               num_layers)},
+        "ff_norm": {"scale": _stack(sd, p + "1.layer_norm.weight",
+                                    num_layers, transpose=False)},
+        "wi_0": {"kernel": _stack(sd, p + "1.DenseReluDense.wi_0.weight",
+                                  num_layers)},
+        "wi_1": {"kernel": _stack(sd, p + "1.DenseReluDense.wi_1.weight",
+                                  num_layers)},
+        "wo": {"kernel": _stack(sd, p + "1.DenseReluDense.wo.weight",
+                                num_layers)},
+    }
+    return {
+        "shared": {"embedding": _np(sd["shared.weight"])},
+        "encoder": {
+            "block": block,
+            "rel_bias": _np(sd[
+                "encoder.block.0.layer.0.SelfAttention."
+                "relative_attention_bias.weight"]),
+            "final_norm": {"scale": _np(sd["encoder.final_layer_norm"
+                                           ".weight"])},
+        },
+    }
+
+
+def clip_params_from_hf(sd: Mapping, num_layers: int) -> Dict:
+    """HF CLIPTextModel state_dict -> CLIPTextEncoder params."""
+    p = "text_model.encoder.layers.{i}."
+
+    def lin_stack(fmt):
+        return {"kernel": _stack(sd, fmt + ".weight", num_layers),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    def ln_stack(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", num_layers,
+                                transpose=False),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    block = {
+        "ln1": ln_stack(p + "layer_norm1"),
+        "ln2": ln_stack(p + "layer_norm2"),
+        "q": lin_stack(p + "self_attn.q_proj"),
+        "k": lin_stack(p + "self_attn.k_proj"),
+        "v": lin_stack(p + "self_attn.v_proj"),
+        "o": lin_stack(p + "self_attn.out_proj"),
+        "fc1": lin_stack(p + "mlp.fc1"),
+        "fc2": lin_stack(p + "mlp.fc2"),
+    }
+    return {
+        "token_embedding": {"embedding": _np(
+            sd["text_model.embeddings.token_embedding.weight"])},
+        "position_embedding": _np(
+            sd["text_model.embeddings.position_embedding.weight"]),
+        "block": block,
+        "final_ln": {
+            "scale": _np(sd["text_model.final_layer_norm.weight"]),
+            "bias": _np(sd["text_model.final_layer_norm.bias"])},
+    }
+
+
 def flux_params_from_diffusers(sd: Mapping, cfg: FluxConfig) -> Dict:
     """diffusers FluxTransformer2DModel state_dict -> FluxTransformer2D
     params (per-block tensors stacked for nn.scan).

@@ -25,6 +25,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               kv_mask: Optional[jnp.ndarray] = None,
               causal: bool = False,
               scale: Optional[float] = None,
+              bias: Optional[jnp.ndarray] = None,
               implementation: str = "auto") -> jnp.ndarray:
     """Multi-head (optionally grouped-query) attention.
 
@@ -33,6 +34,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       k, v: (B, Skv, Hk, D) with Hq % Hk == 0
       kv_mask: optional (B, Skv) bool — True where the key is valid.
       causal: apply causal mask (assumes Sq == Skv alignment at the end).
+      bias: optional additive logits bias (B|1, H, Sq, Skv) — T5 relpos.
+        Forces the XLA path.
       implementation: 'auto' | 'pallas' | 'xla'.
 
     Returns:
@@ -42,15 +45,15 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
-    use_pallas = implementation == "pallas" or (
+    use_pallas = bias is None and (implementation == "pallas" or (
         implementation == "auto"
         and _platform() not in ("cpu",)
         and fa.supported(qt.shape, kt.shape[2])
-    )
+    ))
     if use_pallas:
         out = fa.flash_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
                                  scale=scale)
     else:
         out = fa.xla_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
-                               scale=scale)
+                               scale=scale, bias=bias)
     return jnp.swapaxes(out, 1, 2)

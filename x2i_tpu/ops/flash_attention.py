@@ -109,14 +109,20 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     return out
 
 
-def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float):
-    """Reference/fallback path in plain XLA ops (also the VJP recompute)."""
+def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
+                   bias=None):
+    """Reference/fallback path in plain XLA ops (also the VJP recompute).
+
+    bias: optional additive logits bias broadcastable to (B, H, Sq, Skv)
+    (T5 relative position bias)."""
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
     qf = q.astype(jnp.float32).reshape(batch, hk, group * sq, d)
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)) * scale
     s = s.reshape(batch, hq, sq, skv)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
     if causal:
@@ -203,7 +209,9 @@ def supported(q_shape, kv_seq: int) -> bool:
             and kv_seq % 128 == 0 and sq % 128 == 0)
 
 
-def xla_attention(q, k, v, kv_mask=None, causal=False, scale=None):
+def xla_attention(q, k, v, kv_mask=None, causal=False, scale=None,
+                  bias=None):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    return _xla_attention(q, k, v, kv_mask, causal=causal, scale=scale)
+    return _xla_attention(q, k, v, kv_mask, causal=causal, scale=scale,
+                          bias=bias)

@@ -1,0 +1,169 @@
+"""Phase-1 attention distillation: train the proj so that FLUX attends the
+same way under MLLM conditioning as under T5/CLIP conditioning.
+
+Reference: /root/reference/train/train_minicpm.py (and its qwenvl/internvl
+clones). The reference disaggregates each node into 2 "infer" GPUs (frozen
+MLLM + CLIP + T5 + teacher FLUX, hooks capturing attention outs) and 6
+"train" GPUs (student FLUX + proj), exchanging tensors over NCCL
+gather/scatter (train_minicpm.py:663-825; core/pipeline/train_and_infer.py).
+
+TPU-native redesign (SURVEY.md §7.1.2): teacher and student run in ONE
+jitted step sharded over the ICI mesh — the frozen FLUX weights are shared
+by both branches, the per-block attention outputs come out as scan ys
+instead of hooks, and the cross-pool NCCL exchange disappears entirely.
+Data parallel over the `data` axis; optionally FSDP-shard the frozen
+weights over `fsdp`.
+
+Semantics matched to the reference:
+  * 1-step flow schedule at sigma=1.0 (pure noise latents), 128x128 latent
+    grid = 4096 packed tokens, guidance 3.5 on a dev-class FLUX
+    (train_minicpm.py:748-782).
+  * KD loss per block: F.kl_div(log_softmax(normalize(T)/tau),
+    softmax(normalize(S)/tau), 'batchmean'), tau=3, with per-term
+    non-finite guard (train_minicpm.py:606-625). Gradients flow through
+    the student (the kl_div *target*).
+  * normalize = (x - mean)/(1e-7 + std), std unbiased (train_minicpm.py:63).
+  * AdamW, grad-clip 1.0, cosine LR with warmup (train_minicpm.py:441-485).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from x2i_tpu.core.config import DistillConfig, FluxConfig
+from x2i_tpu.diffusion.sampling import (pack_latents,
+                                        prepare_latent_image_ids)
+
+
+def normalize_logit(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """(x - mean) / (eps + std), std with Bessel correction (torch default)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    n = xf.shape[-1]
+    var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / (n - 1)
+    return (xf - mean) / (eps + jnp.sqrt(var))
+
+
+def _kl_term(teacher: jnp.ndarray, student: jnp.ndarray,
+             tau: float) -> jnp.ndarray:
+    """One block's KD term, 'batchmean' over everything but batch.
+
+    teacher/student: (B, S, D). Mirrors
+    F.kl_div(log_softmax(norm(T)/tau), softmax(norm(S)/tau), 'batchmean').
+    """
+    b = teacher.shape[0]
+    logp_t = jax.nn.log_softmax(normalize_logit(teacher) / tau, axis=-1)
+    log_q_s = jax.nn.log_softmax(normalize_logit(student) / tau, axis=-1)
+    q_s = jnp.exp(log_q_s)
+    kl = jnp.sum(q_s * (log_q_s - logp_t)) / b
+    # reference skips non-finite terms (train_minicpm.py:611-625)
+    return jnp.where(jnp.isfinite(kl), kl, 0.0)
+
+
+def kd_loss(teacher_aux: Dict[str, jnp.ndarray],
+            student_aux: Dict[str, jnp.ndarray],
+            tau: float = 3.0) -> jnp.ndarray:
+    """Sum of per-block KL over the three KD stacks (B, L, S, D)."""
+    loss = 0.0
+    for key in ("double_img", "double_txt", "single"):
+        t, s = teacher_aux[key], student_aux[key]
+        terms = jax.vmap(
+            lambda ti, si: _kl_term(ti, si, tau),
+            in_axes=(1, 1))(t, s)                      # (L,)
+        loss = loss + jnp.sum(terms)
+    return loss
+
+
+class TrainState(NamedTuple):
+    params: Any                  # proj params (the only trainable leaf set)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(dcfg: DistillConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=dcfg.learning_rate,
+        warmup_steps=dcfg.lr_warmup_steps,
+        decay_steps=dcfg.max_train_steps, end_value=0.0)
+    opt = optax.chain(
+        optax.clip_by_global_norm(dcfg.max_grad_norm),
+        optax.adamw(schedule, b1=dcfg.adam_beta1, b2=dcfg.adam_beta2,
+                    eps=dcfg.adam_epsilon,
+                    weight_decay=dcfg.adam_weight_decay),
+    )
+    if dcfg.gradient_accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, dcfg.gradient_accumulation_steps)
+    return opt
+
+
+def make_distill_step(
+        flux_apply: Callable,          # (params, latents, txt, pooled, t,
+                                       #  img_ids, txt_ids, guidance,
+                                       #  return_attn_outputs=True) -> (o, aux)
+        proj_apply: Callable,          # (params, (B,C,S,H)) -> (pooled, seq)
+        teacher_text_fn: Callable,     # (batch) -> (t5_seq, clip_pooled)
+        student_states_fn: Callable,   # (batch) -> (B, C, S, H) mllm hiddens
+        optimizer: optax.GradientTransformation,
+        flux_cfg: FluxConfig,
+        dcfg: DistillConfig,
+        guidance_scale: Optional[float] = 3.5):
+    """Builds the jitted distillation step.
+
+    The returned fn signature:
+      step_fn(state, flux_params, batch, rng) -> (state, metrics)
+    where batch carries tokenized teacher text + MLLM inputs; all frozen
+    params are closed over as explicit args so sharding can be applied.
+    """
+    h, w = dcfg.latent_height, dcfg.latent_width
+    img_ids = prepare_latent_image_ids(h, w)
+    txt_ids = jnp.zeros((dcfg.text_seq_len, 3), jnp.float32)
+    num_lat_ch = flux_cfg.in_channels // 4
+
+    def step_fn(state: TrainState, flux_params, batch, rng):
+        batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        # --- sample pure-noise latents at sigma=1 (1-step schedule) ---
+        latents = jax.random.normal(
+            rng, (batch_size, num_lat_ch, h, w), jnp.float32)
+        latents = pack_latents(latents).astype(flux_cfg.dtype)
+        timestep = jnp.ones((batch_size,), jnp.float32)
+        guidance = (None if not flux_cfg.guidance_embeds
+                    else jnp.full((batch_size,), guidance_scale,
+                                  jnp.float32))
+
+        # --- teacher branch (no grads) ---
+        t5_seq, clip_pooled = teacher_text_fn(batch)
+        _, teacher_aux = flux_apply(
+            flux_params, latents, t5_seq, clip_pooled, timestep, img_ids,
+            txt_ids, guidance, return_attn_outputs=True)
+        teacher_aux = jax.lax.stop_gradient(teacher_aux)
+
+        # --- MLLM hidden states (frozen) ---
+        mllm_states = jax.lax.stop_gradient(student_states_fn(batch))
+
+        # --- student branch: grads wrt proj only ---
+        def loss_fn(proj_params):
+            pooled, seq = proj_apply(proj_params, mllm_states)
+            _, student_aux = flux_apply(
+                flux_params, latents, seq.astype(flux_cfg.dtype),
+                pooled.astype(flux_cfg.dtype), timestep, img_ids, txt_ids,
+                guidance, return_attn_outputs=True)
+            return kd_loss(teacher_aux, student_aux, dcfg.kd_temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        # DP mean happens automatically through sharded-batch loss; grads
+        # are already the global mean under pjit.
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step_fn

@@ -1,0 +1,94 @@
+"""Miniature end-to-end distillation harness.
+
+Builds the full phase-1 trainer wiring (tiny FLUX + Qwen2 + T5 + CLIP +
+proj) at test scale. Used by tests/ and by __graft_entry__.dryrun_multichip
+to validate the sharded training step on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x2i_tpu.core.config import (DistillConfig, ProjConfig, tiny_flux_config,
+                                 tiny_qwen2_config)
+from x2i_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+from x2i_tpu.models.flux import FluxTransformer2D
+from x2i_tpu.models.proj import Proj
+from x2i_tpu.models.qwen2 import Qwen2LM
+from x2i_tpu.models.t5 import T5Config, T5Encoder
+from x2i_tpu.train.distill import (TrainState, make_distill_step,
+                                   make_optimizer)
+
+
+def build_tiny_distill(batch_size: int = 8, remat: bool = False):
+    """Returns (step_fn, state, flux_params, batch)."""
+    flux_cfg = tiny_flux_config(guidance_embeds=True, remat=remat)
+    lm_cfg = tiny_qwen2_config()
+    t5_cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+                      num_layers=1, num_heads=4, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+    clip_cfg = CLIPTextConfig(
+        vocab_size=64, hidden_size=flux_cfg.pooled_projection_dim,
+        intermediate_size=64, num_hidden_layers=1, num_attention_heads=4,
+        max_position_embeddings=16, eos_token_id=63, dtype=jnp.float32,
+        param_dtype=jnp.float32)
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size,
+                          output_dim0=flux_cfg.pooled_projection_dim,
+                          output_dim1=flux_cfg.joint_attention_dim,
+                          dtype=jnp.float32, param_dtype=jnp.float32)
+    dcfg = DistillConfig(latent_height=8, latent_width=8, text_seq_len=12,
+                         lr_warmup_steps=1, max_train_steps=100,
+                         learning_rate=1e-3)
+
+    flux = FluxTransformer2D(flux_cfg)
+    lm = Qwen2LM(lm_cfg)
+    t5 = T5Encoder(t5_cfg)
+    clip = CLIPTextEncoder(clip_cfg)
+    proj = Proj(proj_cfg)
+
+    B, S = batch_size, dcfg.text_seq_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "t5_ids": jnp.asarray(rng.integers(0, 64, (B, S))),
+        "t5_mask": jnp.ones((B, S), bool),
+        "clip_ids": jnp.asarray(rng.integers(0, 63, (B, S))),
+        "mllm_ids": jnp.asarray(rng.integers(0, lm_cfg.vocab_size, (B, S))),
+        "mllm_mask": jnp.ones((B, S), bool),
+    }
+
+    key = jax.random.key(0)
+    s_img = (dcfg.latent_height // 2) * (dcfg.latent_width // 2)
+    flux_params = flux.init(
+        key, jnp.zeros((1, s_img, flux_cfg.in_channels)),
+        jnp.zeros((1, S, flux_cfg.joint_attention_dim)),
+        jnp.zeros((1, flux_cfg.pooled_projection_dim)), jnp.zeros((1,)),
+        jnp.zeros((s_img, 3)), jnp.zeros((S, 3)), guidance=jnp.ones((1,)))
+    t5_params = t5.init(key, batch["t5_ids"][:1])
+    clip_params = clip.init(key, batch["clip_ids"][:1])
+    lm_params = lm.init(key, batch["mllm_ids"][:1])
+    dummy_states, _ = lm.apply(lm_params, batch["mllm_ids"][:1])
+    proj_params = proj.init(key, dummy_states)
+
+    # widen tiny T5 output to the flux joint dim (full-size T5-XXL already
+    # matches 4096; the tiny stand-in needs a fixed projection)
+    widen = jnp.asarray(rng.standard_normal(
+        (t5_cfg.d_model, flux_cfg.joint_attention_dim)), jnp.float32) * 0.1
+
+    def teacher_text_fn(b):
+        seq = t5.apply(t5_params, b["t5_ids"], b["t5_mask"]) @ widen
+        _, pooled = clip.apply(clip_params, b["clip_ids"])
+        return seq, pooled
+
+    def student_states_fn(b):
+        states, _ = lm.apply(lm_params, b["mllm_ids"], b["mllm_mask"])
+        return states
+
+    optimizer = make_optimizer(dcfg)
+    step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
+                                student_states_fn, optimizer, flux_cfg, dcfg)
+    state = TrainState(proj_params, optimizer.init(proj_params),
+                       jnp.zeros((), jnp.int32))
+    return step_fn, state, flux_params, batch
