@@ -1,0 +1,214 @@
+"""Converter <-> model naming consistency: synthesize state dicts with the
+upstream (diffusers/HF) names at tiny shapes, convert, and apply the model —
+any param-tree mismatch fails at apply."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from x2i_tpu.convert.load import (internvl_params_from_hf,
+                                  vae_params_from_diffusers)
+from x2i_tpu.convert.torch_models import flux_params_from_diffusers
+from x2i_tpu.core.config import (InternViTConfig, InternVLConfig, VAEConfig,
+                                 tiny_flux_config, tiny_qwen2_config)
+from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+from x2i_tpu.models.flux import FluxTransformer2D
+from x2i_tpu.models.internvl import InternVLEncoder
+from x2i_tpu.models.vae import AutoencoderKL
+
+
+def _fill(sd, rng):
+    return {k: rng.standard_normal(v).astype(np.float32)
+            for k, v in sd.items()}
+
+
+def test_flux_converter_matches_model(rng):
+    cfg = tiny_flux_config()
+    d = cfg.inner_dim
+    mlp = int(d * cfg.mlp_ratio)
+    shapes = {}
+
+    def lin(name, o, i):
+        shapes[name + ".weight"] = (o, i)
+        shapes[name + ".bias"] = (o,)
+
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}."
+        lin(p + "norm1.linear", 6 * d, d)
+        lin(p + "norm1_context.linear", 6 * d, d)
+        for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                   "add_v_proj"):
+            lin(p + f"attn.{nm}", d, d)
+        for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            shapes[p + f"attn.{nm}.weight"] = (cfg.attention_head_dim,)
+        lin(p + "attn.to_out.0", d, d)
+        lin(p + "attn.to_add_out", d, d)
+        lin(p + "ff.net.0.proj", mlp, d)
+        lin(p + "ff.net.2", d, mlp)
+        lin(p + "ff_context.net.0.proj", mlp, d)
+        lin(p + "ff_context.net.2", d, mlp)
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}."
+        lin(p + "norm.linear", 3 * d, d)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(p + f"attn.{nm}", d, d)
+        for nm in ("norm_q", "norm_k"):
+            shapes[p + f"attn.{nm}.weight"] = (cfg.attention_head_dim,)
+        lin(p + "proj_mlp", mlp, d)
+        lin(p + "proj_out", d, d + mlp)
+    lin("x_embedder", d, cfg.in_channels)
+    lin("context_embedder", d, cfg.joint_attention_dim)
+    lin("proj_out", cfg.in_channels, d)
+    lin("norm_out.linear", 2 * d, d)
+    lin("time_text_embed.timestep_embedder.linear_1", d, cfg.time_embed_dim)
+    lin("time_text_embed.timestep_embedder.linear_2", d, d)
+    lin("time_text_embed.text_embedder.linear_1", d,
+        cfg.pooled_projection_dim)
+    lin("time_text_embed.text_embedder.linear_2", d, d)
+
+    sd = _fill(shapes, rng)
+    params = {"params": flux_params_from_diffusers(sd, cfg)}
+
+    model = FluxTransformer2D(cfg)
+    grid, s_txt = 4, 4
+    out = model.apply(params,
+                      jnp.zeros((1, 4, cfg.in_channels)),
+                      jnp.zeros((1, s_txt, cfg.joint_attention_dim)),
+                      jnp.zeros((1, cfg.pooled_projection_dim)),
+                      jnp.full((1,), 0.5),
+                      prepare_latent_image_ids(grid, grid),
+                      jnp.zeros((s_txt, 3)))
+    assert out.shape == (1, 4, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_converter_matches_model(rng):
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                    latent_channels=4, norm_num_groups=4,
+                    dtype=jnp.float32, param_dtype=jnp.float32)
+    shapes = {}
+
+    def conv(name, o, i, k=3):
+        shapes[name + ".weight"] = (o, i, k, k)
+        shapes[name + ".bias"] = (o,)
+
+    def gn(name, c):
+        shapes[name + ".weight"] = (c,)
+        shapes[name + ".bias"] = (c,)
+
+    def lin(name, o, i):
+        shapes[name + ".weight"] = (o, i)
+        shapes[name + ".bias"] = (o,)
+
+    def resnet(p, cin, cout):
+        gn(p + ".norm1", cin)
+        conv(p + ".conv1", cout, cin)
+        gn(p + ".norm2", cout)
+        conv(p + ".conv2", cout, cout)
+        if cin != cout:
+            conv(p + ".conv_shortcut", cout, cin, k=1)
+
+    def attnb(p, c):
+        gn(p + ".group_norm", c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(p + f".{nm}", c, c)
+        lin(p + ".to_out.0", c, c)
+
+    ch = cfg.block_out_channels
+    conv("encoder.conv_in", ch[0], 3)
+    resnet("encoder.down_blocks.0.resnets.0", ch[0], ch[0])
+    conv("encoder.down_blocks.0.downsamplers.0.conv", ch[0], ch[0])
+    resnet("encoder.down_blocks.1.resnets.0", ch[0], ch[1])
+    resnet("encoder.mid_block.resnets.0", ch[1], ch[1])
+    resnet("encoder.mid_block.resnets.1", ch[1], ch[1])
+    attnb("encoder.mid_block.attentions.0", ch[1])
+    gn("encoder.conv_norm_out", ch[1])
+    conv("encoder.conv_out", 2 * cfg.latent_channels, ch[1])
+
+    conv("decoder.conv_in", ch[1], cfg.latent_channels)
+    resnet("decoder.mid_block.resnets.0", ch[1], ch[1])
+    resnet("decoder.mid_block.resnets.1", ch[1], ch[1])
+    attnb("decoder.mid_block.attentions.0", ch[1])
+    resnet("decoder.up_blocks.0.resnets.0", ch[1], ch[1])
+    resnet("decoder.up_blocks.0.resnets.1", ch[1], ch[1])
+    conv("decoder.up_blocks.0.upsamplers.0.conv", ch[1], ch[1])
+    resnet("decoder.up_blocks.1.resnets.0", ch[1], ch[0])
+    resnet("decoder.up_blocks.1.resnets.1", ch[0], ch[0])
+    gn("decoder.conv_norm_out", ch[0])
+    conv("decoder.conv_out", 3, ch[0])
+
+    sd = _fill(shapes, rng)
+    params = {"params": vae_params_from_diffusers(sd, cfg)}
+    vae = AutoencoderKL(cfg)
+    px = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    out = vae.apply(params, px)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_internvl_converter_matches_model(rng):
+    vit_cfg = InternViTConfig(hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              image_size=28, patch_size=7,
+                              qk_normalization=True,
+                              dtype=jnp.float32, param_dtype=jnp.float32)
+    llm_cfg = tiny_qwen2_config(hidden_size=32, num_attention_heads=2,
+                                num_key_value_heads=2, head_dim=16,
+                                intermediate_size=64)
+    cfg = InternVLConfig(vision=vit_cfg, llm=llm_cfg,
+                         img_context_token_id=7)
+    shapes = {}
+    C = vit_cfg.hidden_size
+    shapes["vision_model.embeddings.class_embedding"] = (1, 1, C)
+    npos = (vit_cfg.image_size // vit_cfg.patch_size) ** 2 + 1
+    shapes["vision_model.embeddings.position_embedding"] = (1, npos, C)
+    shapes["vision_model.embeddings.patch_embedding.weight"] = (
+        C, 3, vit_cfg.patch_size, vit_cfg.patch_size)
+    shapes["vision_model.embeddings.patch_embedding.bias"] = (C,)
+    for i in range(vit_cfg.num_hidden_layers):
+        p = f"vision_model.encoder.layers.{i}."
+        for nm, o, iin in (("attn.qkv", 3 * C, C), ("attn.proj", C, C),
+                           ("mlp.fc1", 64, C), ("mlp.fc2", C, 64)):
+            shapes[p + nm + ".weight"] = (o, iin)
+            shapes[p + nm + ".bias"] = (o,)
+        for nm in ("norm1", "norm2"):
+            shapes[p + nm + ".weight"] = (C,)
+            shapes[p + nm + ".bias"] = (C,)
+        shapes[p + "attn.q_norm.weight"] = (C,)
+        shapes[p + "attn.k_norm.weight"] = (C,)
+        shapes[p + "ls1"] = (C,)
+        shapes[p + "ls2"] = (C,)
+    H = llm_cfg.hidden_size
+    shapes["language_model.model.embed_tokens.weight"] = (
+        llm_cfg.vocab_size, H)
+    for i in range(llm_cfg.num_hidden_layers):
+        p = f"language_model.model.layers.{i}."
+        hq = llm_cfg.num_attention_heads * llm_cfg.head_dim
+        hk = llm_cfg.num_key_value_heads * llm_cfg.head_dim
+        for nm, o in (("q_proj", hq), ("k_proj", hk), ("v_proj", hk)):
+            shapes[p + f"self_attn.{nm}.weight"] = (o, H)
+            shapes[p + f"self_attn.{nm}.bias"] = (o,)
+        shapes[p + "self_attn.o_proj.weight"] = (H, hq)
+        shapes[p + "input_layernorm.weight"] = (H,)
+        shapes[p + "post_attention_layernorm.weight"] = (H,)
+        for nm, o, iin in (("gate_proj", 64, H), ("up_proj", 64, H),
+                           ("down_proj", H, 64)):
+            shapes[p + f"mlp.{nm}.weight"] = (o, iin)
+    shapes["language_model.model.norm.weight"] = (H,)
+    # mlp1: LN over vit C*(1/0.5)^2 = 4C, then -> llm hidden
+    shapes["mlp1.0.weight"] = (4 * C,)
+    shapes["mlp1.0.bias"] = (4 * C,)
+    shapes["mlp1.1.weight"] = (H, 4 * C)
+    shapes["mlp1.1.bias"] = (H,)
+    shapes["mlp1.3.weight"] = (H, H)
+    shapes["mlp1.3.bias"] = (H,)
+
+    sd = _fill(shapes, rng)
+    params = {"params": internvl_params_from_hf(sd, cfg)}
+    enc = InternVLEncoder(cfg)
+    ids = np.full((1, 12), 3)
+    ids[0, 2:6] = 7
+    px = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    out = enc.apply(params, jnp.asarray(ids), jnp.ones((1, 12), bool), px)
+    assert out.shape == (1, llm_cfg.num_hidden_layers + 1, 12, H)
+    assert np.isfinite(np.asarray(out)).all()

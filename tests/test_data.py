@@ -1,0 +1,157 @@
+"""Data engine: brace expansion, tar sample grouping, decode, pipeline
+stages, prefetch loader, datamodule preproc schema."""
+
+import io
+import json
+import os
+import queue
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from x2i_tpu.data.datamodule import (DistillDataConfig, DistillDataModule,
+                                     instruction_dict,
+                                     synthetic_distill_batches)
+from x2i_tpu.data.loader import Preprocess, PrefetchLoader, stack_collate
+from x2i_tpu.data.webdataset import (Pipeline, ShardSampler, expand_urls,
+                                     tar_samples)
+
+
+def _write_shard(path, n, start=0):
+    with tarfile.open(path, "w") as tf:
+        for i in range(start, start + n):
+            key = f"{i:06d}"
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((8, 8, 3)) * 255)
+                .astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            for ext, data in [("png", buf.getvalue()),
+                              ("json", json.dumps(
+                                  {"caption_en": f"cap {i}"}).encode())]:
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+
+def test_expand_urls():
+    assert expand_urls("a/{000..002}.tar") == [
+        "a/000.tar", "a/001.tar", "a/002.tar"]
+    assert expand_urls(["x.tar", "b/{01..02}.tar"]) == [
+        "x.tar", "b/01.tar", "b/02.tar"]
+
+
+def test_tar_samples_grouping(tmp_path):
+    shard = str(tmp_path / "000.tar")
+    _write_shard(shard, 3)
+    samples = list(tar_samples(iter([shard])))
+    assert len(samples) == 3
+    assert set(samples[0]) >= {"__key__", "png", "json"}
+
+
+def test_pipeline_end_to_end(tmp_path):
+    shard = str(tmp_path / "{000..001}.tar")
+    _write_shard(str(tmp_path / "000.tar"), 4)
+    _write_shard(str(tmp_path / "001.tar"), 4, start=4)
+    sampler = ShardSampler(shard, seed=0, resample=False,
+                           host_index=0, host_count=1)
+    pipe = (Pipeline(tar_samples(iter(sampler)))
+            .decode()
+            .verify(["json", "png"])
+            .map(lambda s: {"caption": s["json"]["caption_en"],
+                            "img": np.asarray(s["png"])}))
+    out = list(pipe)
+    assert len(out) == 8
+    assert out[0]["img"].shape == (8, 8, 3)
+
+
+def test_shard_sampler_per_host():
+    urls = [f"{i}.tar" for i in range(4)]
+    s0 = ShardSampler(urls, resample=False, host_index=0, host_count=2)
+    s1 = ShardSampler(urls, resample=False, host_index=1, host_count=2)
+    assert set(iter(s0)) | set(iter(s1)) == set(urls)
+    assert set(iter(s0)).isdisjoint(set(iter(s1)))
+
+
+def test_pipeline_skips_bad_samples(tmp_path):
+    shard = str(tmp_path / "000.tar")
+    with tarfile.open(shard, "w") as tf:
+        good = json.dumps({"caption_en": "ok"}).encode()
+        bad = b"{not json"
+        for key, data in [("a.json", good), ("b.json", bad),
+                          ("c.json", good)]:
+            info = tarfile.TarInfo(key)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    pipe = Pipeline(tar_samples(iter([shard]))).decode().map(
+        lambda s: s["json"]["caption_en"])
+    out = list(pipe)
+    assert out == ["ok", "ok"]      # bad sample dropped, stream continues
+
+
+def test_prefetch_loader_and_device_hook():
+    calls = []
+
+    class P(Preprocess):
+        def has_device_preprocess(self):
+            return True
+
+        def device_preprocess(self, batch):
+            calls.append(1)
+            return {**batch, "extra": 1}
+
+    batches = [{"x": np.ones((2, 3))} for _ in range(5)]
+    loader = PrefetchLoader(batches, preprocess=P())
+    out = list(loader)
+    assert len(out) == 5 and len(calls) == 5
+    assert out[0]["extra"] == 1
+
+
+def test_prefetch_loader_propagates_errors():
+    def gen():
+        yield {"x": 1}
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(gen()))
+
+
+def test_datamodule_preproc_schema(tmp_path):
+    _write_shard(str(tmp_path / "000.tar"), 4)
+    cfg = DistillDataConfig(urls=str(tmp_path / "000.tar"), batch_size=2,
+                            text_seq_len=16, clip_seq_len=8)
+
+    def tok(s, n):
+        ids = np.zeros(n, np.int32)
+        toks = [hash(c) % 100 for c in s[:n]]
+        ids[:len(toks)] = toks
+        mask = np.zeros(n, bool)
+        mask[:len(toks)] = True
+        return ids, mask
+
+    dm = DistillDataModule(
+        cfg,
+        mllm_tokenize=lambda s: tok(s, 16),
+        t5_tokenize=lambda s: tok(s, 16),
+        clip_tokenize=lambda s: tok(s, 8)[0],
+        chat_template=lambda s: f"<user>{s}<assistant>")
+    it = iter(dm.train_loader())
+    batch = next(it)
+    assert batch["mllm_ids"].shape == (2, 16)
+    assert batch["clip_ids"].shape == (2, 8)
+    assert batch["mllm_mask"].dtype == bool
+
+
+def test_instruction_dict_format():
+    s = instruction_dict("a cat")
+    assert s == ("{'Text input': 'a cat', 'Instruction editing description'"
+                 ": 'no', 'image input': 'no'}")
+
+
+def test_synthetic_batches():
+    it = synthetic_distill_batches(2, text_seq_len=8, clip_seq_len=4)
+    b = next(iter(it))
+    assert b["mllm_ids"].shape == (2, 8)
+    assert b["clip_ids"].shape == (2, 4)

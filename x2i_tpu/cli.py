@@ -1,0 +1,94 @@
+"""Command-line interface mirroring the reference inference scripts.
+
+Task surface and flags from /root/reference/infer/inference_minicpm.py:29-35
+and its qwenvl/internvl siblings: --task {text2image, image2image,
+imagetext2image, video2image, audio2image, x2image}, --num_steps,
+--flux_path/--mllm_path/--proj_path, sizes, seed. `--random-weights tiny`
+runs the full pipeline with random parameters (smoke/e2e without
+checkpoints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+TASKS = ("text2image", "image2image", "imagetext2image", "video2image",
+         "audio2image", "x2image")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("x2i_tpu")
+    p.add_argument("--task", choices=TASKS, default="text2image")
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--image", type=str, action="append", default=None,
+                   help="input image path(s)")
+    p.add_argument("--video", type=str, default=None)
+    p.add_argument("--audio", type=str, default=None)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--guidance_scale", type=float, default=3.5)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flux_path", type=str, default=None)
+    p.add_argument("--mllm_path", type=str, default=None)
+    p.add_argument("--proj_path", type=str, default=None)
+    p.add_argument("--model", type=str, default="x2i-internvl2.5-1b",
+                   help="registry name (core.config.MODEL_REGISTRY)")
+    p.add_argument("--random-weights", choices=("tiny",), default=None,
+                   help="run with random weights at the given scale "
+                        "(no checkpoints needed)")
+    p.add_argument("--output", type=str, default="output.png")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.random_weights:
+        from x2i_tpu.core.config import GenerationConfig
+        from x2i_tpu.pipeline import build_random_pipeline
+        pipe = build_random_pipeline(
+            args.random_weights,
+            gen_cfg=GenerationConfig(height=min(args.height, 64),
+                                     width=min(args.width, 64),
+                                     num_inference_steps=args.num_steps,
+                                     seed=args.seed))
+    else:
+        if not (args.flux_path and args.proj_path and args.mllm_path):
+            print("error: provide --flux_path/--mllm_path/--proj_path or "
+                  "--random-weights tiny", file=sys.stderr)
+            return 2
+        from x2i_tpu.convert.load import build_pipeline_from_checkpoints
+        pipe = build_pipeline_from_checkpoints(
+            model=args.model, flux_path=args.flux_path,
+            mllm_path=args.mllm_path, proj_path=args.proj_path,
+            num_steps=args.num_steps, height=args.height, width=args.width,
+            seed=args.seed)
+
+    images = audio = video = None
+    if args.image:
+        from PIL import Image
+        images = [Image.open(p).convert("RGB") for p in args.image]
+    if args.task in ("image2image", "imagetext2image", "x2image") \
+            and images is None and not args.random_weights:
+        print("error: task requires --image", file=sys.stderr)
+        return 2
+    if args.task == "text2image" and not args.prompt:
+        print("error: text2image requires --prompt", file=sys.stderr)
+        return 2
+
+    out = pipe.run_task(args.task, prompt=args.prompt, images=images,
+                        video=args.video, audio=args.audio,
+                        seed=args.seed)
+
+    from PIL import Image
+    img = Image.fromarray(out[0])
+    img.save(args.output)
+    print(f"wrote {args.output} ({img.size[0]}x{img.size[1]})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

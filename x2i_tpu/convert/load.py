@@ -1,0 +1,253 @@
+"""Checkpoint loading: safetensors/torch files -> assembled X2IPipeline.
+
+Loads the same artifacts the reference consumes:
+  * FLUX: diffusers-layout directory (transformer/*.safetensors +
+    vae/*.safetensors) as used by FluxPipeline.from_pretrained
+    (/root/reference/infer/inference_minicpm.py:72-75),
+  * MLLM: HF InternVL2.5 directory (vision + mlp1 + Qwen2 LM),
+  * proj: the reference's `diffusion_pytorch_model.bin` torch state dict
+    with optional DDP 'module.' prefixes (inference_minicpm.py:77-91).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from x2i_tpu.core.config import (FluxConfig, GenerationConfig,
+                                 InternVLConfig, MODEL_REGISTRY, ProjConfig,
+                                 Qwen2Config, SchedulerConfig, VAEConfig)
+from x2i_tpu.convert.torch_models import (_np, _stack, flux_params_from_diffusers,
+                                          proj_params_from_reference,
+                                          qwen2_params_from_hf)
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors under path into one numpy state dict
+    (bf16 via torch)."""
+    import torch
+    from safetensors.torch import load_file
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {path}")
+    for f in files:
+        for k, v in load_file(f).items():
+            sd[k] = _np(v)
+    return sd
+
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in sd.items()}
+
+
+def vae_params_from_diffusers(sd: Mapping, cfg: VAEConfig) -> Dict:
+    """diffusers AutoencoderKL state dict -> models.vae.AutoencoderKL."""
+
+    def conv(name):
+        return {"kernel": _np(sd[name + ".weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(sd[name + ".bias"])}
+
+    def gn(name):
+        return {"scale": _np(sd[name + ".weight"]),
+                "bias": _np(sd[name + ".bias"])}
+
+    def lin(name):
+        return {"kernel": _np(sd[name + ".weight"]).T,
+                "bias": _np(sd[name + ".bias"])}
+
+    def resnet(dst, src):
+        out = {"norm1": gn(src + ".norm1"), "conv1": conv(src + ".conv1"),
+               "norm2": gn(src + ".norm2"), "conv2": conv(src + ".conv2")}
+        if src + ".conv_shortcut.weight" in sd:
+            out["conv_shortcut"] = conv(src + ".conv_shortcut")
+        return out
+
+    def attn(src):
+        return {"group_norm": gn(src + ".group_norm"),
+                "to_q": lin(src + ".to_q"), "to_k": lin(src + ".to_k"),
+                "to_v": lin(src + ".to_v"),
+                "to_out": lin(src + ".to_out.0")}
+
+    n = len(cfg.block_out_channels)
+    enc: Dict[str, Any] = {"conv_in": conv("encoder.conv_in"),
+                           "conv_out": conv("encoder.conv_out"),
+                           "conv_norm_out": gn("encoder.conv_norm_out")}
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            enc[f"down_{i}_block_{j}"] = resnet(
+                None, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            enc[f"down_{i}_downsample"] = conv(
+                f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    enc["mid_block_1"] = resnet(None, "encoder.mid_block.resnets.0")
+    enc["mid_block_2"] = resnet(None, "encoder.mid_block.resnets.1")
+    if cfg.use_mid_attention:
+        enc["mid_attn"] = attn("encoder.mid_block.attentions.0")
+
+    dec: Dict[str, Any] = {"conv_in": conv("decoder.conv_in"),
+                           "conv_out": conv("decoder.conv_out"),
+                           "conv_norm_out": gn("decoder.conv_norm_out")}
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            dec[f"up_{i}_block_{j}"] = resnet(
+                None, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            dec[f"up_{i}_upsample"] = conv(
+                f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    dec["mid_block_1"] = resnet(None, "decoder.mid_block.resnets.0")
+    dec["mid_block_2"] = resnet(None, "decoder.mid_block.resnets.1")
+    if cfg.use_mid_attention:
+        dec["mid_attn"] = attn("decoder.mid_block.attentions.0")
+
+    return {"encoder": enc, "decoder": dec}
+
+
+def internvl_params_from_hf(sd: Mapping, cfg: InternVLConfig) -> Dict:
+    """HF InternVLChatModel state dict -> models.internvl.InternVLEncoder."""
+    L = cfg.vision.num_hidden_layers
+    p = "vision_model.encoder.layers.{i}."
+
+    def lin_stack(fmt, bias=True):
+        out = {"kernel": _stack(sd, fmt + ".weight", L)}
+        if bias:
+            out["bias"] = _stack(sd, fmt + ".bias", L, transpose=False)
+        return out
+
+    def ln_stack(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", L, transpose=False),
+                "bias": _stack(sd, fmt + ".bias", L, transpose=False)}
+
+    block = {
+        "norm1": ln_stack(p + "norm1"),
+        "norm2": ln_stack(p + "norm2"),
+        "qkv": lin_stack(p + "attn.qkv"),
+        "proj": lin_stack(p + "attn.proj"),
+        "fc1": lin_stack(p + "mlp.fc1"),
+        "fc2": lin_stack(p + "mlp.fc2"),
+        "ls1": _stack(sd, p + "ls1", L, transpose=False),
+        "ls2": _stack(sd, p + "ls2", L, transpose=False),
+    }
+    if cfg.vision.qk_normalization:
+        block["q_norm_scale"] = _stack(sd, p + "attn.q_norm.weight", L,
+                                       transpose=False)
+        block["k_norm_scale"] = _stack(sd, p + "attn.k_norm.weight", L,
+                                       transpose=False)
+
+    vision = {
+        "class_embedding": _np(
+            sd["vision_model.embeddings.class_embedding"]),
+        "position_embedding": _np(
+            sd["vision_model.embeddings.position_embedding"]),
+        "patch_embedding": {
+            "kernel": _np(sd["vision_model.embeddings.patch_embedding"
+                             ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["vision_model.embeddings.patch_embedding"
+                           ".bias"])},
+        "block": block,
+    }
+
+    lm_sd = {k.removeprefix("language_model."): v for k, v in sd.items()
+             if k.startswith("language_model.")}
+    llm = qwen2_params_from_hf(lm_sd, cfg.llm)
+
+    return {
+        "vision_model": vision,
+        "language_model": llm,
+        "mlp1_norm": {"scale": _np(sd["mlp1.0.weight"]),
+                      "bias": _np(sd["mlp1.0.bias"])},
+        "mlp1_fc1": {"kernel": _np(sd["mlp1.1.weight"]).T,
+                     "bias": _np(sd["mlp1.1.bias"])},
+        "mlp1_fc2": {"kernel": _np(sd["mlp1.3.weight"]).T,
+                     "bias": _np(sd["mlp1.3.bias"])},
+    }
+
+
+def build_pipeline_from_checkpoints(model: str, flux_path: str,
+                                    mllm_path: str, proj_path: str,
+                                    num_steps: int = 4, height: int = 1024,
+                                    width: int = 1024, seed: int = 0,
+                                    quantized: bool = True):
+    """Assemble a full X2IPipeline from on-disk checkpoints (InternVL
+    family; other encoders land with their model modules)."""
+    import jax
+    from transformers import AutoTokenizer
+
+    from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.internvl import InternVLEncoder
+    from x2i_tpu.models.proj import Proj
+    from x2i_tpu.models.templates import (expand_image_tokens,
+                                          internvl2_5_prompt,
+                                          task_instruction)
+    from x2i_tpu.models.vae import AutoencoderKL
+    from x2i_tpu.data.vision import load_image_tiles
+    from x2i_tpu.ops.quant import quantize_tree
+    from x2i_tpu.pipeline import X2IPipeline
+
+    entry = MODEL_REGISTRY[model]
+    flux_cfg: FluxConfig = entry["flux"]
+    if quantized:
+        flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": True})
+    proj_cfg: ProjConfig = entry["proj"]
+    mllm_cfg = entry["mllm"]
+    sched_cfg: SchedulerConfig = entry["scheduler"]
+    vae_cfg = VAEConfig()
+
+    flux_sd = load_safetensors_dir(os.path.join(flux_path, "transformer"))
+    flux_params = flux_params_from_diffusers(flux_sd, flux_cfg)
+    del flux_sd
+    if quantized:
+        flux_params = quantize_tree(flux_params)
+    vae_sd = load_safetensors_dir(os.path.join(flux_path, "vae"))
+    vae_params = vae_params_from_diffusers(vae_sd, vae_cfg)
+    del vae_sd
+
+    mllm_sd = load_safetensors_dir(mllm_path)
+    enc_params = internvl_params_from_hf(mllm_sd, mllm_cfg)
+    del mllm_sd
+    proj_params = proj_params_from_reference(load_torch_bin(proj_path),
+                                             proj_cfg)
+
+    tokenizer = AutoTokenizer.from_pretrained(mllm_path,
+                                              trust_remote_code=True,
+                                              use_fast=False)
+    encoder = InternVLEncoder(mllm_cfg)
+
+    def encoder_fn(inputs):
+        task = inputs.get("task", "text2image")
+        images = inputs.get("images") or []
+        question = task_instruction(task, inputs.get("prompt"),
+                                    num_images=len(images))
+        if images:
+            question = "<image>\n" + question
+        query = internvl2_5_prompt(question)
+        tiles = None
+        if images:
+            tiles = np.concatenate(
+                [load_image_tiles(im) for im in images], axis=0)
+            query = expand_image_tokens(
+                query, [tiles.shape[0]], mllm_cfg.num_image_token)
+        enc = tokenizer(query, padding="max_length", max_length=512,
+                        truncation=True)
+        ids = jnp.asarray([enc["input_ids"]], jnp.int32)
+        mask = jnp.asarray([enc["attention_mask"]], bool)
+        px = None if tiles is None else jnp.asarray(tiles)
+        return encoder.apply({"params": enc_params}, ids, mask, px)
+
+    return X2IPipeline(
+        encoder_fn=encoder_fn,
+        proj=Proj(proj_cfg), proj_params={"params": proj_params},
+        flux=FluxTransformer2D(flux_cfg),
+        flux_params={"params": flux_params},
+        vae=AutoencoderKL(vae_cfg), vae_params={"params": vae_params},
+        scheduler=FlowMatchEulerScheduler(sched_cfg),
+        gen_cfg=GenerationConfig(height=height, width=width,
+                                 num_inference_steps=num_steps, seed=seed))

@@ -1,0 +1,198 @@
+"""X2I inference pipeline: MLLM hidden states -> proj -> FLUX -> VAE.
+
+The reference wires this inline per script (tokenizer -> MLLM -> proj ->
+diffusers FluxPipeline -> manual VAE decode,
+/root/reference/infer/inference_minicpm.py:51-91,181-215; SURVEY.md §1
+"there is no shared pipeline object"). Here it IS one object: `encode()`
+produces conditioning from any modality mix, `generate()` is a single jitted
+program (proj + lax.scan denoise + VAE decode), and the task methods mirror
+the reference CLI surface (text2image / image2image / imagetext2image /
+video2image / audio2image / x2image, inference_minicpm.py:218-335).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x2i_tpu.core.config import (FluxConfig, GenerationConfig, ProjConfig,
+                                 SchedulerConfig, VAEConfig)
+from x2i_tpu.diffusion.sampling import (denoise, pack_latents,
+                                        prepare_latent_image_ids,
+                                        unpack_latents)
+from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
+from x2i_tpu.models.flux import FluxTransformer2D
+from x2i_tpu.models.proj import Proj
+from x2i_tpu.models.vae import AutoencoderKL, postprocess
+
+
+@dataclasses.dataclass
+class X2IPipeline:
+    """encoder_fn(inputs: dict) -> (B, C, S, H) MLLM hidden-state stack;
+    the remaining stages are owned models + params."""
+
+    encoder_fn: Callable[[Dict[str, Any]], jnp.ndarray]
+    proj: Proj
+    proj_params: Any
+    flux: FluxTransformer2D
+    flux_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    scheduler: FlowMatchEulerScheduler
+    gen_cfg: GenerationConfig = GenerationConfig()
+
+    def encode(self, encoder_inputs: Dict[str, Any]
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (pooled (B, 768), prompt_embeds (B, S, 4096))."""
+        states = self.encoder_fn(encoder_inputs)
+        return self.proj.apply(self.proj_params, states)
+
+    @functools.cached_property
+    def _generate_jit(self):
+        @functools.partial(jax.jit, static_argnames=("height", "width",
+                                                     "num_steps"))
+        def run(flux_params, vae_params, prompt_embeds, pooled, noise,
+                guidance, height, width, num_steps):
+            grid_h = 2 * (height // 16)
+            grid_w = 2 * (width // 16)
+            img_ids = prepare_latent_image_ids(grid_h, grid_w)
+            txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+            sigmas = self.scheduler.inference_sigmas(
+                num_steps, image_seq_len=noise.shape[1])
+
+            def model_fn(lat, pr, po, t, iid, tid, g):
+                return self.flux.apply(flux_params, lat, pr, po, t, iid,
+                                       tid, guidance=g)
+
+            gscale = (self.gen_cfg.guidance_scale
+                      if self.flux.cfg.guidance_embeds else None)
+            lat = denoise(model_fn, noise,
+                          prompt_embeds.astype(self.flux.cfg.dtype),
+                          pooled.astype(self.flux.cfg.dtype), sigmas,
+                          img_ids, txt_ids, guidance_scale=gscale)
+            lat = unpack_latents(lat, height, width)
+            pixels = self.vae.apply(vae_params,
+                                    jnp.transpose(lat, (0, 2, 3, 1)),
+                                    method=self.vae.decode)
+            return postprocess(pixels)
+
+        return run
+
+    def generate(self, pooled: jnp.ndarray, prompt_embeds: jnp.ndarray,
+                 height: Optional[int] = None, width: Optional[int] = None,
+                 num_steps: Optional[int] = None,
+                 seed: Optional[int] = None) -> np.ndarray:
+        """-> uint8 images (B, H, W, 3). Mirrors generate()
+        (inference_minicpm.py:181-215)."""
+        g = self.gen_cfg
+        height = height or g.height
+        width = width or g.width
+        num_steps = num_steps or g.num_inference_steps
+        seed = g.seed if seed is None else seed
+        batch = prompt_embeds.shape[0]
+        s_img = (2 * (height // 16)) * (2 * (width // 16)) // 4
+        noise = jax.random.normal(
+            jax.random.key(seed),
+            (batch, s_img, self.flux.cfg.in_channels), jnp.bfloat16)
+        out = self._generate_jit(self.flux_params, self.vae_params,
+                                 prompt_embeds, pooled, noise, None,
+                                 height, width, num_steps)
+        return np.asarray(out)
+
+    # ---- task surface (inference_minicpm.py:218-335) ----
+
+    def run_task(self, task: str, prompt: Optional[str] = None,
+                 images: Optional[Sequence] = None,
+                 video: Optional[Any] = None,
+                 audio: Optional[Any] = None,
+                 **gen_kwargs) -> np.ndarray:
+        inputs = {"prompt": prompt, "images": images, "video": video,
+                  "audio": audio, "task": task}
+        pooled, prompt_embeds = self.encode(inputs)
+        return self.generate(pooled, prompt_embeds, **gen_kwargs)
+
+    def text2image(self, prompt: str, **kw) -> np.ndarray:
+        return self.run_task("text2image", prompt=prompt, **kw)
+
+    def image2image(self, images, **kw) -> np.ndarray:
+        return self.run_task("image2image", images=images, **kw)
+
+    def imagetext2image(self, prompt: str, images, **kw) -> np.ndarray:
+        return self.run_task("imagetext2image", prompt=prompt,
+                             images=images, **kw)
+
+    def video2image(self, video, **kw) -> np.ndarray:
+        return self.run_task("video2image", video=video, **kw)
+
+    def audio2image(self, audio, **kw) -> np.ndarray:
+        return self.run_task("audio2image", audio=audio, **kw)
+
+    def x2image(self, prompt=None, images=None, audio=None,
+                **kw) -> np.ndarray:
+        return self.run_task("x2image", prompt=prompt, images=images,
+                             audio=audio, **kw)
+
+
+def build_random_pipeline(scale: str = "tiny",
+                          seed: int = 0,
+                          gen_cfg: Optional[GenerationConfig] = None
+                          ) -> X2IPipeline:
+    """Random-weight pipeline for smoke runs without checkpoints. The
+    encoder is a tiny Qwen2 over hashed prompt tokens — same code path as a
+    real MLLM (prefill + hidden-state stack)."""
+    from x2i_tpu.core.config import tiny_flux_config, tiny_qwen2_config
+    from x2i_tpu.models.qwen2 import Qwen2LM
+
+    if scale != "tiny":
+        raise NotImplementedError("full-scale requires checkpoints")
+    key = jax.random.key(seed)
+    flux_cfg = tiny_flux_config(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                                use_pallas_attention=True)
+    lm_cfg = tiny_qwen2_config(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size,
+                          output_dim0=flux_cfg.pooled_projection_dim,
+                          output_dim1=flux_cfg.joint_attention_dim)
+    vae_cfg = VAEConfig(block_out_channels=(32, 32, 32, 32),
+                        layers_per_block=1, latent_channels=16,
+                        norm_num_groups=4)
+    seq = 32
+
+    lm = Qwen2LM(lm_cfg)
+    lm_params = lm.init(key, jnp.zeros((1, seq), jnp.int32))
+
+    def tokenize(text: str) -> np.ndarray:
+        ids = np.zeros((1, seq), np.int32)
+        toks = [hash(c) % lm_cfg.vocab_size for c in (text or "")][:seq]
+        ids[0, :len(toks)] = toks
+        return ids
+
+    def encoder_fn(inputs):
+        ids = jnp.asarray(tokenize(inputs.get("prompt") or ""))
+        states, _ = lm.apply(lm_params, ids)
+        return states
+
+    proj = Proj(proj_cfg)
+    proj_params = proj.init(
+        key, jnp.zeros((1, proj_cfg.in_channels, seq, proj_cfg.input_dim)))
+    flux = FluxTransformer2D(flux_cfg)
+    grid = 8
+    flux_params = flux.init(
+        key, jnp.zeros((1, (grid // 2) ** 2, flux_cfg.in_channels)),
+        jnp.zeros((1, seq, flux_cfg.joint_attention_dim)),
+        jnp.zeros((1, flux_cfg.pooled_projection_dim)), jnp.zeros((1,)),
+        prepare_latent_image_ids(grid, grid), jnp.zeros((seq, 3)))
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))
+
+    return X2IPipeline(
+        encoder_fn=encoder_fn, proj=proj, proj_params=proj_params,
+        flux=flux, flux_params=flux_params, vae=vae, vae_params=vae_params,
+        scheduler=FlowMatchEulerScheduler(SchedulerConfig(shift=1.0)),
+        gen_cfg=gen_cfg or GenerationConfig(height=64, width=64,
+                                            num_inference_steps=4))
