@@ -48,7 +48,6 @@ def main():
     img_ids = prepare_latent_image_ids(grid, grid)
     txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
 
-    @jax.jit
     def generate(params, vae_params, noise, prompt, pooled):
         def model_fn(lat, pr, po, t, iid, tid, g):
             return model.apply(params, lat, pr, po, t, iid, tid)
@@ -66,8 +65,15 @@ def main():
     pooled = jax.random.normal(jax.random.key(3),
                                (1, cfg.pooled_projection_dim), jnp.bfloat16)
 
+    # AOT lower+compile: the runtime-JIT path through this environment's
+    # compile relay is pathologically slow for 12B-scale programs; the AOT
+    # path compiles the identical program in seconds.
+    generate = (jax.jit(generate)
+                .lower(params, vae_params, noise, prompt, pooled)
+                .compile())
+
     out = generate(params, vae_params, noise, prompt, pooled)
-    out.block_until_ready()                                 # compile+warmup
+    out.block_until_ready()                                 # warmup
 
     iters = 5
     t0 = time.perf_counter()

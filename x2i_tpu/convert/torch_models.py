@@ -88,6 +88,155 @@ def proj_params_from_reference(sd: Mapping, cfg: ProjConfig) -> Dict:
     return p
 
 
+def siglip_params_from_hf(sd: Mapping, num_layers: int,
+                          prefix: str = "vision_model.") -> Dict:
+    """HF/NaViT SigLIP vision state dict -> SiglipVisionTransformer params.
+    num_layers = layers actually used (MiniCPM drops the last one). The
+    patch conv (d, 3, ps, ps) flattens to a Dense kernel with (c, py, px)
+    pixel order, matching data/minicpm_vision.patchify_siglip."""
+    p = prefix + "encoder.layers.{i}."
+
+    def lin_stack(fmt):
+        return {"kernel": _stack(sd, fmt + ".weight", num_layers),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    def ln_stack(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", num_layers,
+                                transpose=False),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    block = {
+        "ln1": ln_stack(p + "layer_norm1"),
+        "ln2": ln_stack(p + "layer_norm2"),
+        "q": lin_stack(p + "self_attn.q_proj"),
+        "k": lin_stack(p + "self_attn.k_proj"),
+        "v": lin_stack(p + "self_attn.v_proj"),
+        "o": lin_stack(p + "self_attn.out_proj"),
+        "fc1": lin_stack(p + "mlp.fc1"),
+        "fc2": lin_stack(p + "mlp.fc2"),
+    }
+    pw = _np(sd[prefix + "embeddings.patch_embedding.weight"])
+    d = pw.shape[0]
+    return {
+        "patch_embedding": {"kernel": pw.reshape(d, -1).T,
+                            "bias": _np(sd[prefix + "embeddings."
+                                           "patch_embedding.bias"])},
+        "position_embedding": {"embedding": _np(
+            sd[prefix + "embeddings.position_embedding.weight"])},
+        "block": block,
+        "post_layernorm": {
+            "scale": _np(sd[prefix + "post_layernorm.weight"]),
+            "bias": _np(sd[prefix + "post_layernorm.bias"])},
+    }
+
+
+def whisper_params_from_hf(sd: Mapping, num_layers: int,
+                           prefix: str = "") -> Dict:
+    """HF WhisperEncoder state dict -> WhisperEncoder params. Conv1d
+    (out, in, k) -> flax Conv (k, in, out)."""
+    p = prefix + "layers.{i}."
+
+    def lin_stack(fmt, bias=True):
+        out = {"kernel": _stack(sd, fmt + ".weight", num_layers)}
+        if bias:
+            out["bias"] = _stack(sd, fmt + ".bias", num_layers,
+                                 transpose=False)
+        return out
+
+    def ln_stack(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", num_layers,
+                                transpose=False),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    block = {
+        "attn_ln": ln_stack(p + "self_attn_layer_norm"),
+        "ffn_ln": ln_stack(p + "final_layer_norm"),
+        "q": lin_stack(p + "self_attn.q_proj"),
+        "k": lin_stack(p + "self_attn.k_proj", bias=False),
+        "v": lin_stack(p + "self_attn.v_proj"),
+        "o": lin_stack(p + "self_attn.out_proj"),
+        "fc1": lin_stack(p + "fc1"),
+        "fc2": lin_stack(p + "fc2"),
+    }
+    return {
+        "conv1": {"kernel": _np(sd[prefix + "conv1.weight"])
+                  .transpose(2, 1, 0),
+                  "bias": _np(sd[prefix + "conv1.bias"])},
+        "conv2": {"kernel": _np(sd[prefix + "conv2.weight"])
+                  .transpose(2, 1, 0),
+                  "bias": _np(sd[prefix + "conv2.bias"])},
+        "block": block,
+        "final_ln": {"scale": _np(sd[prefix + "layer_norm.weight"]),
+                     "bias": _np(sd[prefix + "layer_norm.bias"])},
+    }
+
+
+def resampler_params_from_reference(sd: Mapping, embed_dim: int,
+                                    prefix: str = "") -> Dict:
+    """Reference Resampler state dict (torch MultiheadAttention packed
+    in-proj) -> models.resampler.Resampler params."""
+    d = embed_dim
+    in_w = _np(sd[prefix + "attn.in_proj_weight"])       # (3d, d)
+    in_b = _np(sd[prefix + "attn.in_proj_bias"])         # (3d,)
+    out = {
+        "query": _np(sd[prefix + "query"]),
+        "ln_q": {"scale": _np(sd[prefix + "ln_q.weight"]),
+                 "bias": _np(sd[prefix + "ln_q.bias"])},
+        "ln_kv": {"scale": _np(sd[prefix + "ln_kv.weight"]),
+                  "bias": _np(sd[prefix + "ln_kv.bias"])},
+        "ln_post": {"scale": _np(sd[prefix + "ln_post.weight"]),
+                    "bias": _np(sd[prefix + "ln_post.bias"])},
+        "proj": _np(sd[prefix + "proj"]),
+        "in_proj_q": {"kernel": in_w[:d].T, "bias": in_b[:d]},
+        "in_proj_k": {"kernel": in_w[d:2 * d].T, "bias": in_b[d:2 * d]},
+        "in_proj_v": {"kernel": in_w[2 * d:].T, "bias": in_b[2 * d:]},
+        "out_proj": {"kernel": _np(sd[prefix + "attn.out_proj.weight"]).T,
+                     "bias": _np(sd[prefix + "attn.out_proj.bias"])},
+    }
+    if prefix + "kv_proj.weight" in sd:
+        out["kv_proj"] = {"kernel": _np(sd[prefix + "kv_proj.weight"]).T}
+    return out
+
+
+def qwen2_5_vl_vision_params_from_hf(sd: Mapping, depth: int,
+                                     prefix: str = "visual.") -> Dict:
+    """HF Qwen2.5-VL vision tower state dict -> QwenVisionTransformer
+    params. The Conv3d patch embed becomes a Dense over the flattened
+    patch (weight (E, C, tps, ps, ps) -> kernel (C*tps*ps^2, E))."""
+    p = prefix + "blocks.{i}."
+
+    def lin_stack(fmt, bias=True):
+        out = {"kernel": _stack(sd, fmt + ".weight", depth)}
+        if bias:
+            out["bias"] = _stack(sd, fmt + ".bias", depth, transpose=False)
+        return out
+
+    block = {
+        "norm1": {"scale": _stack(sd, p + "norm1.weight", depth,
+                                  transpose=False)},
+        "norm2": {"scale": _stack(sd, p + "norm2.weight", depth,
+                                  transpose=False)},
+        "qkv": lin_stack(p + "attn.qkv"),
+        "proj": lin_stack(p + "attn.proj"),
+        "gate_proj": lin_stack(p + "mlp.gate_proj"),
+        "up_proj": lin_stack(p + "mlp.up_proj"),
+        "down_proj": lin_stack(p + "mlp.down_proj"),
+    }
+    pe = _np(sd[prefix + "patch_embed.proj.weight"])
+    return {
+        "patch_embed": {"kernel": pe.reshape(pe.shape[0], -1).T},
+        "block": block,
+        "ln_q": {"scale": _np(sd[prefix + "merger.ln_q.weight"])},
+        "merger_fc1": {"kernel": _np(sd[prefix + "merger.mlp.0.weight"]).T,
+                       "bias": _np(sd[prefix + "merger.mlp.0.bias"])},
+        "merger_fc2": {"kernel": _np(sd[prefix + "merger.mlp.2.weight"]).T,
+                       "bias": _np(sd[prefix + "merger.mlp.2.bias"])},
+    }
+
+
 def t5_params_from_hf(sd: Mapping, num_layers: int) -> Dict:
     """HF T5EncoderModel state_dict -> T5Encoder params."""
     p = "encoder.block.{i}.layer."

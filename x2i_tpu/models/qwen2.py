@@ -164,7 +164,8 @@ class Qwen2LM(nn.Module):
     def __call__(self, input_ids: Optional[jnp.ndarray] = None,
                  attention_mask: Optional[jnp.ndarray] = None,
                  inputs_embeds: Optional[jnp.ndarray] = None,
-                 position_ids: Optional[jnp.ndarray] = None):
+                 position_ids: Optional[jnp.ndarray] = None,
+                 rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         """Prefill forward exporting all hidden states.
 
         Returns:
@@ -180,12 +181,17 @@ class Qwen2LM(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), jnp.bool_)
         attention_mask = attention_mask.astype(jnp.bool_)
-        if position_ids is None:
-            # left-pad-robust positions (HF generate convention)
-            position_ids = jnp.clip(
-                jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1,
-                0, None)
-        cos, sin = rope_freqs_half(position_ids, cfg.head_dim, cfg.rope_theta)
+        if rope is not None:
+            # precomputed (cos, sin), e.g. M-RoPE (models/qwen2_5_vl.py)
+            cos, sin = rope
+        else:
+            if position_ids is None:
+                # left-pad-robust positions (HF generate convention)
+                position_ids = jnp.clip(
+                    jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1,
+                    0, None)
+            cos, sin = rope_freqs_half(position_ids, cfg.head_dim,
+                                       cfg.rope_theta)
 
         hidden = inputs_embeds
         final, layer_states, _ = self.blocks(hidden, cos, sin,
