@@ -1,0 +1,46 @@
+"""Train loop runner: steps advance, checkpoints save, resume restores the
+step counter (reference auto-resume semantics)."""
+
+import numpy as np
+import pytest
+
+from x2i_tpu.train.harness import build_tiny_distill
+from x2i_tpu.train.runner import TrainLoop
+
+
+def _batches(batch):
+    while True:
+        yield batch
+
+
+def test_loop_runs_and_checkpoints(tmp_path):
+    step_fn, state, flux_params, batch = build_tiny_distill(batch_size=8)
+    loop = TrainLoop(step_fn, state, flux_params, _batches(batch),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     checkpointing_steps=2, log_every=1)
+    metrics = loop.run(3)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["timing"]["steps"] >= 1
+
+    # resume: a fresh loop restores step=3 and continues to 5
+    step_fn2, state2, flux_params2, _ = build_tiny_distill(batch_size=8)
+    loop2 = TrainLoop(step_fn2, state2, flux_params2, _batches(batch),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      checkpointing_steps=100, log_every=1)
+    assert int(np.asarray(loop2.state.step)) == 3
+    m2 = loop2.run(5)
+    assert np.isfinite(m2["loss"])
+
+
+def test_train_cli_smoke(tmp_path):
+    from x2i_tpu.train import cli
+    rc = cli.main(["distill", "--tiny", "--synthetic", "--batch_size", "4",
+                   "--max_train_steps", "2", "--checkpointing_steps", "100",
+                   "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
+
+
+def test_train_cli_rejects_full_without_ckpts():
+    from x2i_tpu.train import cli
+    rc = cli.main(["distill", "--max_train_steps", "1"])
+    assert rc == 2

@@ -49,11 +49,15 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays on-device with batch-dim sharding."""
-    sharding = data_sharding(mesh)
+    """Place a pytree of host arrays on-device with batch-dim sharding.
+    Batches not divisible by the dp axis are replicated instead (small
+    smoke runs)."""
+    dp = mesh.shape["data"] * mesh.shape["fsdp"]
 
     def _put(x):
         x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % dp != 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
         spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -92,14 +92,22 @@ def warn_and_continue(exn: Exception) -> bool:
 
 
 def tar_samples(shards: Iterable[str],
-                handler: Callable[[Exception], bool] = warn_and_continue
-                ) -> Iterator[Dict[str, Any]]:
+                handler: Callable[[Exception], bool] = warn_and_continue,
+                use_native: bool = True) -> Iterator[Dict[str, Any]]:
     """Iterate tar shards, grouping member files into samples.
 
-    Yields dicts {"__key__": basename, "<ext>": bytes, ...}.
+    Yields dicts {"__key__": basename, "<ext>": bytes, ...}. Uses the C++
+    reader (data/native_tar.py) when the archive format allows, falling
+    back to the python tarfile walk.
     """
     for shard in shards:
         try:
+            if use_native:
+                from x2i_tpu.data.native_tar import native_tar_samples
+                it = native_tar_samples(shard)
+                if it is not None:
+                    yield from it
+                    continue
             with tarfile.open(shard, mode="r|*") as tf:
                 current_key = None
                 sample: Dict[str, Any] = {}
