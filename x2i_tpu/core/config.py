@@ -42,6 +42,9 @@ class FluxConfig:
     remat: bool = False              # jax.checkpoint each block (training)
     use_pallas_attention: bool = True
     quantized: bool = False          # int8 weight-only Dense kernels
+    shard_activations: bool = False  # tensor-parallel constraints (heads/
+                                     # ffn over the mesh 'tensor' axis);
+                                     # requires running under jax.set_mesh
 
     @property
     def inner_dim(self) -> int:

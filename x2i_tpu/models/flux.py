@@ -84,6 +84,15 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
+    """Tensor-parallel activation constraint (mesh 'tensor' axis). XLA
+    derives the matching weight shardings and inserts ICI collectives."""
+    if not cfg.shard_activations:
+        return x
+    from jax.sharding import PartitionSpec as P
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 class FluxDoubleBlock(nn.Module):
     """Dual-stream MMDiT block (lightcontrol_flux.py:108-204).
 
@@ -133,6 +142,10 @@ class FluxDoubleBlock(nn.Module):
         q = jnp.concatenate([cq, q], axis=1)
         k = jnp.concatenate([ck, k], axis=1)
         v = jnp.concatenate([cv, v], axis=1)
+        # TP: shard heads over the 'tensor' axis
+        q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
+        k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
+        v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
         cos, sin = rope
         q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
@@ -147,14 +160,18 @@ class FluxDoubleBlock(nn.Module):
 
         hidden = hidden + gate_msa[:, None, :] * img_attn
         ff_in = _modulate(layer_norm(hidden), shift_mlp, scale_mlp)
-        ff = dense(dim, "img_mlp_out")(
-            nn.gelu(dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(ff_in)))
+        ff_mid = nn.gelu(dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(
+            ff_in))
+        ff_mid = _shard(ff_mid, cfg, ("data", "fsdp"), None, "tensor")
+        ff = dense(dim, "img_mlp_out")(ff_mid)
         hidden = hidden + gate_mlp[:, None, :] * ff
 
         encoder = encoder + c_gate_msa[:, None, :] * txt_attn
         cff_in = _modulate(layer_norm(encoder), c_shift_mlp, c_scale_mlp)
-        cff = dense(dim, "txt_mlp_out")(
-            nn.gelu(dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(cff_in)))
+        cff_mid = nn.gelu(dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(
+            cff_in))
+        cff_mid = _shard(cff_mid, cfg, ("data", "fsdp"), None, "tensor")
+        cff = dense(dim, "txt_mlp_out")(cff_mid)
         encoder = encoder + c_gate_mlp[:, None, :] * cff
 
         if control is not None:
@@ -192,12 +209,16 @@ class FluxSingleBlock(nn.Module):
         cos, sin = rope
         q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+        q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
+        k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
+        v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
         attn = attention(q, k, v, implementation=impl)
         attn = attn.reshape(batch, seq, dim)
 
         mlp = nn.gelu(dense(mlp_dim, "mlp_in")(x))
+        mlp = _shard(mlp, cfg, ("data", "fsdp"), None, "tensor")
         out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
         hidden = hidden + gate[:, None, :] * out
         return hidden, attn
