@@ -155,3 +155,49 @@ def test_synthetic_batches():
     b = next(iter(it))
     assert b["mllm_ids"].shape == (2, 8)
     assert b["clip_ids"].shape == (2, 4)
+
+
+def test_lightcontrol_datamodule(tmp_path):
+    import tarfile
+    from PIL import Image
+    from x2i_tpu.data.datamodule import (DistillDataConfig,
+                                         LightControlDataModule)
+
+    shard = str(tmp_path / "lc.tar")
+    with tarfile.open(shard, "w") as tf:
+        for i, meta in enumerate([
+                {"style_zh": "梵高风格", "caption_en": "a cat"},
+                {"caption_zh": "一只猫", "caption_en": "a cat"}]):
+            key = f"{i:06d}"
+            entries = {"json": json.dumps(meta).encode()}
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((32, 32, 3)) * 255)
+                .astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            entries["jpg"] = buf.getvalue()
+            if "style_zh" in meta:
+                buf2 = io.BytesIO()
+                img.save(buf2, format="PNG")
+                entries["png"] = buf2.getvalue()
+            for ext, data in entries.items():
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    seen_instructions = []
+
+    def qwen_process(instruction, image):
+        seen_instructions.append(instruction)
+        return {"mllm_ids": np.zeros(8, np.int32),
+                "mllm_mask": np.ones(8, bool)}
+
+    dm = LightControlDataModule(
+        DistillDataConfig(urls=shard, batch_size=2), qwen_process,
+        caption_keep_prob=0.0)
+    batch = next(iter(dm.train_loader()))
+    assert batch["style_pixels"].shape == (2, 32, 32, 3)
+    assert batch["style_pixels"].min() >= -1 and batch["style_pixels"].max() <= 1
+    # editing pair used style_zh; self-recon used the generic instruction
+    assert "梵高风格" in seen_instructions[0]
+    assert "请描述这张图片" in seen_instructions[1]

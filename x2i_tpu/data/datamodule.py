@@ -88,6 +88,77 @@ class DistillDataModule:
         return PrefetchLoader(pipe, device_put=device_put)
 
 
+class LightControlDataModule:
+    """Editing-pair datamodule for phase-2 LightControl.
+
+    Mirrors /root/reference/utils/datamodule_lightcontrol.py:265-394:
+      * editing pairs (json has `style_zh` + a `png` target): condition jpg
+        resized 256^2, Chinese instruction dict {"文本描述": "",
+        "指令编辑描述": style_zh, "图片输入": "有"}, target = png;
+      * otherwise self-reconstruction at 128^2 with caption dropout — 90%
+        of samples get the generic "请描述这张图片" instruction, 10% the
+        Chinese caption;
+    emitting {style_pixels (target, NHWC [-1,1]), cond_pixels,
+    gray_pixels, qwen_inputs (ids/mask + vision tensors via the injected
+    qwen_process fn)}.
+    """
+
+    def __init__(self, cfg: DistillDataConfig,
+                 qwen_process: Callable,
+                 caption_keep_prob: float = 0.1,
+                 seed: int = 0):
+        """qwen_process(instruction_str, pil_image) -> dict of arrays
+        (ids/mask + Qwen vision inputs; see data/qwen_vision.py)."""
+        self.cfg = cfg
+        self.qwen_process = qwen_process
+        self.caption_keep_prob = caption_keep_prob
+        import random as _random
+        self._rng = _random.Random(seed)
+
+    @staticmethod
+    def _to_tensor(img) -> np.ndarray:
+        arr = np.asarray(img.convert("RGB"), np.float32) / 127.5 - 1.0
+        return arr
+
+    def preproc(self, sample: Dict) -> Dict:
+        meta = sample["json"]
+        if "style_zh" in meta and "png" in sample:
+            target = sample["png"].convert("RGB")
+            cond = sample["jpg"].convert("RGB")
+            cond_small = cond.resize((256, 256))
+            instruction = str({"文本描述": "",
+                               "指令编辑描述": meta["style_zh"],
+                               "图片输入": "有"})
+        else:
+            cond = sample["jpg"].convert("RGB")
+            target = cond
+            cond_small = cond.resize((128, 128))
+            if (self._rng.random() < self.caption_keep_prob
+                    and "caption_zh" in meta):
+                instruction = str({"文本描述": meta["caption_zh"],
+                                   "指令编辑描述": "", "图片输入": "有"})
+            else:
+                instruction = str({"文本描述": "",
+                                   "指令编辑描述": "请描述这张图片",
+                                   "图片输入": "有"})
+        out = {
+            "style_pixels": self._to_tensor(target),
+            "cond_pixels": self._to_tensor(cond),
+            "gray_pixels": self._to_tensor(cond.convert("L")),
+        }
+        out.update(self.qwen_process(instruction, cond_small))
+        return out
+
+    def train_loader(self, device_put: Optional[Callable] = None):
+        shards = ShardSampler(self.cfg.urls, seed=self.cfg.seed)
+        pipe = (Pipeline(tar_samples(iter(shards)))
+                .decode()
+                .verify(["json", "jpg"])
+                .map(self.preproc)
+                .batch(self.cfg.batch_size, stack_collate))
+        return PrefetchLoader(pipe, device_put=device_put)
+
+
 def synthetic_distill_batches(batch_size: int, text_seq_len: int = 512,
                               clip_seq_len: int = 77,
                               mllm_vocab: int = 151674,
