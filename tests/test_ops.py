@@ -179,3 +179,36 @@ def test_attention_grads_flow(rng):
     for t in g:
         assert np.isfinite(np.asarray(t)).all()
         assert float(jnp.abs(t).sum()) > 0
+
+
+@pytest.mark.parametrize("causal,gqa,masked",
+                         [(False, 1, False), (True, 1, False),
+                          (False, 2, True), (True, 2, True)])
+def test_pallas_backward_matches_xla_interpret(rng, causal, gqa, masked):
+    """Fused Pallas backward (dq/dk/dv) vs autodiff through the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, Hq, S, D = 1, 2, 128, 64
+    Hk = Hq // gqa
+    q = jnp.asarray(rng.standard_normal((B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, S, D)), jnp.float32)
+    mask = None
+    if masked:
+        m = np.ones((B, S), bool)
+        m[:, 100:] = False
+        mask = jnp.asarray(m)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, kv_mask=mask,
+                                          causal=causal) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(fa.xla_attention(q, k, v, kv_mask=mask,
+                                        causal=causal) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-3, err_msg=name)

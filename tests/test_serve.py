@@ -1,0 +1,85 @@
+"""Serving engine: batching, padding, concurrency, error propagation; plus
+whisper chunked-attention bias semantics."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from x2i_tpu.models.whisper_enc import chunk_bias
+from x2i_tpu.serve import BatchingServer
+
+
+def test_batches_fill_and_pad():
+    seen = []
+
+    def gen(batch):
+        seen.append(len(batch))
+        return np.stack([np.full((2, 2, 3), r.get("v", 0), np.uint8)
+                         for r in batch])
+
+    srv = BatchingServer(gen, batch_size=4, max_wait_s=0.2)
+    futs = [srv.submit({"v": i}) for i in range(4)]
+    outs = [f.result(5) for f in futs]
+    for i, o in enumerate(outs):
+        assert (o == i).all()
+    assert seen[0] == 4          # full batch (padded list is size 4 anyway)
+    srv.close()
+
+
+def test_partial_batch_padding():
+    sizes = []
+
+    def gen(batch):
+        sizes.append(len(batch))
+        return np.zeros((len(batch), 1, 1, 3), np.uint8)
+
+    srv = BatchingServer(gen, batch_size=4, max_wait_s=0.01)
+    out = srv.generate({"v": 1}, timeout=5)
+    assert out.shape == (1, 1, 3)
+    assert sizes[0] == 4         # padded to the static batch
+    srv.close()
+
+
+def test_concurrent_producers():
+    def gen(batch):
+        return np.stack([np.full((1, 1, 3), r["v"], np.uint8)
+                         for r in batch])
+
+    srv = BatchingServer(gen, batch_size=2, max_wait_s=0.1)
+    results = {}
+
+    def producer(i):
+        results[i] = srv.generate({"v": i}, timeout=10)
+
+    threads = [threading.Thread(target=producer, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        assert (results[i] == i).all()
+    srv.close()
+
+
+def test_error_propagates():
+    def gen(batch):
+        raise RuntimeError("bad batch")
+
+    srv = BatchingServer(gen, batch_size=1)
+    with pytest.raises(RuntimeError, match="bad batch"):
+        srv.generate({"v": 1}, timeout=5)
+    srv.close()
+
+
+def test_chunk_bias():
+    b = chunk_bias(6, 2)[0, 0]
+    # frame 0,1 in chunk 0: attend cols 0..1 only
+    assert (b[0, :2] == 0).all() and (b[0, 2:] < -1e29).all()
+    # frame 4,5 in chunk 2: attend cols 0..5 (full left context)
+    assert (b[5] == 0).all()
+    b1 = chunk_bias(6, 2, num_left_chunks=1)[0, 0]
+    # frame 5 (chunk 2) with 1 left chunk: cols 2..5
+    assert (b1[5, 2:] == 0).all() and (b1[5, :2] < -1e29).all()

@@ -36,6 +36,24 @@ class WhisperConfig:
     param_dtype: Any = jnp.bfloat16
 
 
+def chunk_bias(num_frames: int, chunk_frames: int,
+               num_left_chunks: int = -1) -> np.ndarray:
+    """Chunked-attention additive bias (1, 1, T, T): frame i attends
+    frames in its chunk and up to num_left_chunks previous chunks (-1 =
+    all). Mirrors the reference's subsequent_chunk_mask
+    (modeling_minicpmo.py:240-277) used when chunk_input=True."""
+    idx = np.arange(num_frames)
+    chunk = idx // chunk_frames
+    right = (chunk + 1) * chunk_frames                   # exclusive end
+    if num_left_chunks >= 0:
+        left = np.maximum(0, (chunk - num_left_chunks) * chunk_frames)
+    else:
+        left = np.zeros_like(idx)
+    cols = idx[None, :]
+    ok = (cols < right[:, None]) & (cols >= left[:, None])
+    return np.where(ok, 0.0, -1e30).astype(np.float32)[None, None]
+
+
 def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
     """Whisper fixed sinusoid table (HF sinusoids): (length, dim)."""
     log_timescale = math.log(10000) / (dim // 2 - 1)
@@ -48,7 +66,7 @@ class WhisperBlock(nn.Module):
     cfg: WhisperConfig
 
     @nn.compact
-    def __call__(self, hidden, kv_mask):
+    def __call__(self, hidden, kv_mask, bias=None):
         cfg = self.cfg
         b, s, c = hidden.shape
         h = cfg.encoder_attention_heads
@@ -65,7 +83,7 @@ class WhisperBlock(nn.Module):
         q = dense(c, "q")(x).reshape(b, s, h, d)
         k = dense(c, "k", bias=False)(x).reshape(b, s, h, d)
         v = dense(c, "v")(x).reshape(b, s, h, d)
-        attn = attention(q, k, v, kv_mask=kv_mask)
+        attn = attention(q, k, v, kv_mask=kv_mask, bias=bias)
         hidden = hidden + dense(c, "o")(attn.reshape(b, s, c))
 
         x = ln("ffn_ln")(hidden)
@@ -78,8 +96,11 @@ class WhisperEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray,
-                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """mel: (B, num_mel_bins, T) log-mel features -> (B, T//2, d)."""
+                 kv_mask: Optional[jnp.ndarray] = None,
+                 attn_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """mel: (B, num_mel_bins, T) log-mel features -> (B, T//2, d).
+        attn_bias: optional (1, 1, T//2, T//2) chunked-attention bias
+        (chunk_bias) matching the reference's chunk_input=True path."""
         cfg = self.cfg
         x = jnp.swapaxes(mel.astype(cfg.dtype), 1, 2)   # (B, T, mels)
         x = nn.gelu(nn.Conv(cfg.d_model, (3,), padding=1, dtype=cfg.dtype,
@@ -93,7 +114,7 @@ class WhisperEncoder(nn.Module):
         x = x + pos.astype(cfg.dtype)[None]
 
         def body(block, carry):
-            return block(carry, kv_mask), None
+            return block(carry, kv_mask, attn_bias), None
 
         x, _ = nn.scan(
             body,

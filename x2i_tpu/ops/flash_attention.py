@@ -1,18 +1,24 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash-attention kernels (forward + fused backward).
 
 This is the "native layer" of the rebuild: the reference leans on PyTorch
-SDPA / flash-attention CUDA kernels for every attention site (SURVEY.md §2.6;
-e.g. diffusers FluxAttnProcessor2_0 used at
+SDPA / flash-attention CUDA kernels for every attention site (SURVEY.md
+§2.6; e.g. diffusers FluxAttnProcessor2_0 used at
 /root/reference/lightcontrol/lightcontrol_flux.py:68,130). Here the hot
 attention — FLUX joint attention over 4608 tokens, MLLM LM prefill, ViT
-towers — runs through one Pallas kernel.
+towers — runs through these kernels.
 
-Design: grid over (batch, q-head, q-block). Each program holds one q tile in
-VMEM plus the full K/V rows for its (b, kv-head): at the X2I operating points
-(S ≤ 4608, D = 128) K+V+scores ≈ 4.6 MB, comfortably inside the ~16 MB VMEM
-budget, so no online-softmax streaming pass is needed — one MXU matmul per
-side with an exact softmax in f32. GQA is expressed in the BlockSpec index
-map (q head h reads kv head h // group), so no repeated K/V ever touches HBM.
+Design: grid over (batch, head, block). Each program holds one q (or kv)
+tile in VMEM plus the full opposing rows for its (b, kv-head): at the X2I
+operating points (S ≤ 4608, D = 128) K+V+scores ≈ 4.6 MB, comfortably
+inside the ~16 MB VMEM budget, so no online-softmax streaming pass is
+needed — exact softmax in f32, matmul inputs kept in storage dtype for full
+MXU rate. GQA is expressed in BlockSpec index maps (q head h reads kv head
+h // group), so no repeated K/V ever touches HBM.
+
+Backward: the forward also emits the per-row logsumexp; two kernels then
+compute dq (grid over q-blocks) and dk/dv (grid over kv-blocks, summing the
+GQA group in-kernel) without materializing the (Sq, Skv) probabilities in
+HBM. The plain-XLA implementations remain as the CPU/odd-shape fallback.
 """
 
 from __future__ import annotations
@@ -31,28 +37,32 @@ NEG_INF = -1e30
 MAX_KV_SEQ = 8192
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
-                  causal: bool, block_q: int):
+def _logits(q, k, scale):
+    return jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+
+def _apply_masks(s, mask_ref, causal, row_offset, col_offset):
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[:], s, NEG_INF)
+    if causal:
+        rows = row_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        cols = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols <= rows, s, NEG_INF)
+    return s
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                  scale: float, causal: bool, block_q: int):
     """One (batch, q-head, q-block) program; full KV rows resident."""
-    # Keep matmul inputs in their storage dtype (bf16 on the inference path)
-    # so the MXU runs at full rate; accumulate in f32.
     q = q_ref[0, 0]                                      # (BQ, D)
     k = k_ref[0, 0]                                      # (Skv, D)
     v = v_ref[0, 0]                                      # (Skv, D)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (BQ, Skv) f32
-
-    if mask_ref is not None:
-        valid = mask_ref[:]                              # (1, Skv) bool
-        s = jnp.where(valid, s, NEG_INF)
-    if causal:
-        qi = pl.program_id(2)
-        rows = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(cols <= rows, s, NEG_INF)
+    s = _logits(q, k, scale)                             # (BQ, Skv) f32
+    s = _apply_masks(s, mask_ref, causal,
+                     pl.program_id(2) * block_q, 0)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -60,10 +70,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
     o = jnp.dot(p.astype(v.dtype), v,
                 preferred_element_type=jnp.float32) / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
 def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
-                   block_q: int = 256):
+                   block_q: int = 256, return_lse: bool = False):
     """q: (B, Hq, Sq, D); k, v: (B, Hk, Skv, D); kv_mask: (B, Skv) bool|None."""
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
@@ -79,27 +91,41 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         pl.BlockSpec((1, 1, skv, d), lambda b, h, i: (b, h // group, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q.reshape(batch, hq, sq, d), k, v]
-    if kv_mask is not None:
-        in_specs.append(
-            pl.BlockSpec((1, skv), lambda b, h, i: (b, 0),
-                         memory_space=pltpu.VMEM))
+    args = [q, k, v]
+    has_mask = kv_mask is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, skv), lambda b, h, i: (b, 0),
+                                     memory_space=pltpu.VMEM))
         args.append(kv_mask)
-        kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                                   block_q=block_q)
-    else:
-        kernel = functools.partial(
-            lambda qr, kr, vr, orf, **kw: _flash_kernel(
-                qr, kr, vr, None, orf, **kw),
-            scale=scale, causal=causal, block_q=block_q)
+
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d),
+                              lambda b, h, i: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q),
+                                      lambda b, h, i: (b, h, i),
+                                      memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        if has_mask and return_lse:
+            qr, kr, vr, mr, orf, lr = refs
+        elif has_mask:
+            (qr, kr, vr, mr, orf), lr = refs, None
+        elif return_lse:
+            (qr, kr, vr, orf, lr), mr = refs, None
+        else:
+            (qr, kr, vr, orf), mr, lr = refs, None, None
+        _flash_kernel(qr, kr, vr, mr, orf, lr, scale=scale, causal=causal,
+                      block_q=block_q)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype),
+        out_specs=tuple(out_specs) if return_lse else out_specs[0],
+        out_shape=tuple(out_shape) if return_lse else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * hq * sq * skv * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
@@ -109,9 +135,162 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     return out
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   mask_ref, dq_ref, *, scale: float, causal: bool,
+                   block_q: int):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)               # (BQ, D)
+    lse = lse_ref[0, 0].reshape(-1, 1)                  # (BQ, 1)
+    delta = delta_ref[0, 0].reshape(-1, 1)              # (BQ, 1)
+
+    s = _logits(q, k, scale)
+    s = _apply_masks(s, mask_ref, causal, pl.program_id(2) * block_q, 0)
+    p = jnp.exp(s - lse)                                # (BQ, Skv)
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (BQ, Skv)
+    ds = p * (dp - delta) * scale
+    dq = jnp.dot(ds.astype(k.dtype), k,
+                 preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    mask_ref, dk_ref, dv_ref, *, scale: float,
+                    causal: bool, block_k: int, group: int):
+    k = k_ref[0, 0]                                     # (BK, D)
+    v = v_ref[0, 0]
+    col0 = pl.program_id(2) * block_k
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    for g in range(group):                              # static unroll
+        q = q_ref[0, 0, g]                              # (Sq, D)
+        do = do_ref[0, 0, g].astype(jnp.float32)        # (Sq, D)
+        lse = lse_ref[0, 0, g].reshape(-1, 1)           # (Sq, 1)
+        delta = delta_ref[0, 0, g].reshape(-1, 1)
+        s = _logits(q, k, scale)                        # (Sq, BK)
+        s = _apply_masks(s, mask_ref, causal, 0, col0)
+        p = jnp.exp(s - lse)                            # (Sq, BK)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (BK, D)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (Sq, BK)
+        ds = p * (dp - delta) * scale                   # (Sq, BK)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (BK, D)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
+                    scale: float, block_q: int = 256, block_k: int = 256):
+    batch, hq, sq, d = q.shape
+    hk, skv = k.shape[1], k.shape[2]
+    group = hq // hk
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                            # (B, Hq, Sq)
+
+    # ---- dq ----
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, skv, d), lambda b, h, i: (b, h // group, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, skv, d), lambda b, h, i: (b, h // group, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, do, lse, delta]
+    has_mask = kv_mask is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, skv), lambda b, h, i: (b, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kv_mask)
+
+    def dq_kernel(*refs):
+        if has_mask:
+            qr, kr, vr, dor, lr, der, mr, dqr = refs
+        else:
+            (qr, kr, vr, dor, lr, der, dqr), mr = refs, None
+        _bwd_dq_kernel(qr, kr, vr, dor, lr, der, mr, dqr, scale=scale,
+                       causal=causal, block_q=block_q)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(batch, hq, pl.cdiv(sq, block_q)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype),
+    )(*args)
+
+    # ---- dk / dv ---- (grid over kv blocks; group summed in-kernel)
+    qg = q.reshape(batch, hk, group, sq, d)
+    dog = do.reshape(batch, hk, group, sq, d)
+    lseg = lse.reshape(batch, hk, group, sq)
+    deltag = delta.reshape(batch, hk, group, sq)
+    in_specs = [
+        pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, group, sq), lambda b, h, j: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, group, sq), lambda b, h, j: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args2 = [qg, dog, lseg, deltag, k, v]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, j: (b, j),
+                                     memory_space=pltpu.VMEM))
+        args2.append(kv_mask)
+
+    def dkv_kernel(*refs):
+        if has_mask:
+            qr, dor, lr, der, kr, vr, mr, dkr, dvr = refs
+        else:
+            (qr, dor, lr, der, kr, vr, dkr, dvr), mr = refs, None
+        _bwd_dkv_kernel(qr, dor, lr, der, kr, vr, mr, dkr, dvr,
+                        scale=scale, causal=causal, block_k=block_k,
+                        group=group)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(batch, hk, pl.cdiv(skv, block_k)),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((batch, hk, skv, d), k.dtype),
+                   jax.ShapeDtypeStruct((batch, hk, skv, d), v.dtype)),
+    )(*args2)
+
+    return dq, dk, dv
+
+
 def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
                    bias=None):
-    """Reference/fallback path in plain XLA ops (also the VJP recompute).
+    """Reference/fallback path in plain XLA ops.
 
     bias: optional additive logits bias broadcastable to (B, H, Sq, Skv)
     (T5 relative position bias)."""
@@ -141,52 +320,16 @@ def _flash(q, k, v, kv_mask, causal, scale):
 
 
 def _flash_fwd(q, k, v, kv_mask, causal, scale):
-    o = _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale)
-    return o, (q, k, v, kv_mask)
+    o, lse = _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
+                            return_lse=True)
+    return o, (q, k, v, kv_mask, o, lse)
 
 
 def _flash_bwd(causal, scale, res, do):
-    # Exact recompute backward in XLA. The forward runs the Pallas kernel;
-    # the backward re-materializes P blockwise via XLA fusion. A fused Pallas
-    # backward kernel can replace this without touching callers.
-    q, k, v, kv_mask = res
-    batch, hq, sq, d = q.shape
-    hk, skv = k.shape[1], k.shape[2]
-    group = hq // hk
-    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
-    dof = do.astype(jnp.float32)
-
-    s = jnp.einsum("bhqd,bhkd->bhqk",
-                   qf.reshape(batch, hk, group * sq, d), kf) * scale
-    s = s.reshape(batch, hq, sq, skv)
-    if kv_mask is not None:
-        s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
-    if causal:
-        rows = jnp.arange(sq)[:, None]
-        cols = jnp.arange(skv)[None, :]
-        s = jnp.where(cols <= rows, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)                       # (B,Hq,Sq,Skv)
-
-    dp = jnp.einsum("bhqd,bhkd->bhqk",
-                    dof.reshape(batch, hk, group * sq, d),
-                    vf).reshape(batch, hq, sq, skv)
-    o = jnp.einsum("bhqk,bhkd->bhqd",
-                   p.reshape(batch, hk, group * sq, skv),
-                   vf).reshape(batch, hq, sq, d)
-    delta = jnp.sum(dof * o, axis=-1, keepdims=True)     # (B,Hq,Sq,1)
-    ds = p * (dp - delta) * scale                        # (B,Hq,Sq,Skv)
-
-    dq = jnp.einsum("bhqk,bhkd->bhqd",
-                    ds.reshape(batch, hk, group * sq, skv),
-                    kf).reshape(batch, hq, sq, d)
-    ds_g = ds.reshape(batch, hk, group, sq, skv)
-    q_g = qf.reshape(batch, hk, group, sq, d)
-    dk = jnp.einsum("bhgqk,bhgqd->bhkd", ds_g, q_g)
-    p_g = p.reshape(batch, hk, group, sq, skv)
-    do_g = dof.reshape(batch, hk, group, sq, d)
-    dv = jnp.einsum("bhgqk,bhgqd->bhkd", p_g, do_g)
-
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+    q, k, v, kv_mask, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, kv_mask, o, lse, do,
+                                 causal=causal, scale=scale)
+    return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -196,7 +339,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     kv_mask: Optional[jnp.ndarray] = None,
                     causal: bool = False,
                     scale: Optional[float] = None) -> jnp.ndarray:
-    """Flash attention over (B, H, S, D) tensors. Differentiable."""
+    """Flash attention over (B, H, S, D) tensors. Differentiable (fused
+    Pallas backward)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash(q, k, v, kv_mask, causal, scale)
