@@ -212,3 +212,109 @@ def test_internvl_converter_matches_model(rng):
     out = enc.apply(params, jnp.asarray(ids), jnp.ones((1, 12), bool), px)
     assert out.shape == (1, llm_cfg.num_hidden_layers + 1, 12, H)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_minicpmo_converter_matches_model(rng):
+    """Synthesized MiniCPM-o state dict (vpm/resampler/apm/projector/llm
+    names) -> MiniCPMOEncoder params, applied end to end."""
+    import jax
+    from x2i_tpu.convert.load import minicpmo_params_from_hf
+    from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
+    from x2i_tpu.models.siglip import SiglipVisionConfig
+    from x2i_tpu.models.whisper_enc import WhisperConfig
+
+    vis = SiglipVisionConfig(hidden_size=16, intermediate_size=32,
+                             num_hidden_layers=3, num_attention_heads=4,
+                             image_size=28, patch_size=7,
+                             drop_last_layer=True, dtype=jnp.float32,
+                             param_dtype=jnp.float32)
+    aud = WhisperConfig(num_mel_bins=8, d_model=16, encoder_layers=1,
+                        encoder_attention_heads=4, encoder_ffn_dim=32,
+                        max_source_positions=64, dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+    llm = tiny_qwen2_config(hidden_size=32, num_attention_heads=2,
+                            num_key_value_heads=2, head_dim=16,
+                            intermediate_size=64)
+    cfg = MiniCPMOConfig(vision=vis, audio=aud, llm=llm, query_num=4,
+                         resampler_heads=4)
+
+    shapes = {}
+    C = 16
+    # vpm (2 effective layers converted)
+    shapes["vpm.embeddings.patch_embedding.weight"] = (C, 3, 7, 7)
+    shapes["vpm.embeddings.patch_embedding.bias"] = (C,)
+    shapes["vpm.embeddings.position_embedding.weight"] = (16, C)
+    for i in range(vis.effective_layers):
+        p = f"vpm.encoder.layers.{i}."
+        for nm, o, ii in (("self_attn.q_proj", C, C),
+                          ("self_attn.k_proj", C, C),
+                          ("self_attn.v_proj", C, C),
+                          ("self_attn.out_proj", C, C),
+                          ("mlp.fc1", 32, C), ("mlp.fc2", C, 32)):
+            shapes[p + nm + ".weight"] = (o, ii)
+            shapes[p + nm + ".bias"] = (o,)
+        for nm in ("layer_norm1", "layer_norm2"):
+            shapes[p + nm + ".weight"] = (C,)
+            shapes[p + nm + ".bias"] = (C,)
+    shapes["vpm.post_layernorm.weight"] = (C,)
+    shapes["vpm.post_layernorm.bias"] = (C,)
+    # resampler
+    D = 32
+    shapes["resampler.query"] = (4, D)
+    shapes["resampler.kv_proj.weight"] = (D, C)
+    shapes["resampler.attn.in_proj_weight"] = (3 * D, D)
+    shapes["resampler.attn.in_proj_bias"] = (3 * D,)
+    shapes["resampler.attn.out_proj.weight"] = (D, D)
+    shapes["resampler.attn.out_proj.bias"] = (D,)
+    for nm in ("ln_q", "ln_kv", "ln_post"):
+        shapes[f"resampler.{nm}.weight"] = (D,)
+        shapes[f"resampler.{nm}.bias"] = (D,)
+    shapes["resampler.proj"] = (D, D)
+    # apm whisper
+    shapes["apm.conv1.weight"] = (16, 8, 3)
+    shapes["apm.conv1.bias"] = (16,)
+    shapes["apm.conv2.weight"] = (16, 16, 3)
+    shapes["apm.conv2.bias"] = (16,)
+    p = "apm.layers.0."
+    for nm, o, ii, b in (("self_attn.q_proj", 16, 16, True),
+                         ("self_attn.k_proj", 16, 16, False),
+                         ("self_attn.v_proj", 16, 16, True),
+                         ("self_attn.out_proj", 16, 16, True),
+                         ("fc1", 32, 16, True), ("fc2", 16, 32, True)):
+        shapes[p + nm + ".weight"] = (o, ii)
+        if b:
+            shapes[p + nm + ".bias"] = (o,)
+    for nm in ("self_attn_layer_norm", "final_layer_norm"):
+        shapes[p + nm + ".weight"] = (16,)
+        shapes[p + nm + ".bias"] = (16,)
+    shapes["apm.layer_norm.weight"] = (16,)
+    shapes["apm.layer_norm.bias"] = (16,)
+    shapes["audio_projection_layer.linear1.weight"] = (D, 16)
+    shapes["audio_projection_layer.linear1.bias"] = (D,)
+    shapes["audio_projection_layer.linear2.weight"] = (D, D)
+    shapes["audio_projection_layer.linear2.bias"] = (D,)
+    # llm
+    H = 32
+    shapes["llm.model.embed_tokens.weight"] = (llm.vocab_size, H)
+    for i in range(llm.num_hidden_layers):
+        p = f"llm.model.layers.{i}."
+        for nm, o in (("q_proj", 32), ("k_proj", 32), ("v_proj", 32)):
+            shapes[p + f"self_attn.{nm}.weight"] = (o, H)
+            shapes[p + f"self_attn.{nm}.bias"] = (o,)
+        shapes[p + "self_attn.o_proj.weight"] = (H, 32)
+        shapes[p + "input_layernorm.weight"] = (H,)
+        shapes[p + "post_attention_layernorm.weight"] = (H,)
+        for nm, o, ii in (("gate_proj", 64, H), ("up_proj", 64, H),
+                          ("down_proj", H, 64)):
+            shapes[p + f"mlp.{nm}.weight"] = (o, ii)
+    shapes["llm.model.norm.weight"] = (H,)
+
+    sd = _fill(shapes, rng)
+    params = {"params": minicpmo_params_from_hf(sd, cfg)}
+
+    from x2i_tpu.data.minicpm_vision import bounds_to_map
+    enc = MiniCPMOEncoder(cfg)
+    ids = np.full((1, 12), 3)
+    out = enc.apply(params, jnp.asarray(ids), jnp.ones((1, 12), bool))
+    assert out.shape == (1, llm.num_hidden_layers + 1, 12, H)
+    assert np.isfinite(np.asarray(out)).all()

@@ -170,52 +170,67 @@ def internvl_params_from_hf(sd: Mapping, cfg: InternVLConfig) -> Dict:
     }
 
 
-def build_pipeline_from_checkpoints(model: str, flux_path: str,
-                                    mllm_path: str, proj_path: str,
-                                    num_steps: int = 4, height: int = 1024,
-                                    width: int = 1024, seed: int = 0,
-                                    quantized: bool = True):
-    """Assemble a full X2IPipeline from on-disk checkpoints (InternVL
-    family; other encoders land with their model modules)."""
-    import jax
-    from transformers import AutoTokenizer
+def qwen2_5_vl_params_from_hf(sd: Mapping, llm_cfg,
+                              vision_depth: int = 32) -> Dict:
+    """HF Qwen2_5_VLForConditionalGeneration state dict ->
+    Qwen2_5_VLEncoder params (handles both the old `visual./model.` and new
+    `model.visual./model.language_model.` key layouts)."""
+    from x2i_tpu.convert.torch_models import (
+        qwen2_5_vl_vision_params_from_hf)
+    if any(k.startswith("model.visual.") for k in sd):
+        vis_prefix, lm_prefix = "model.visual.", "model.language_model."
+    else:
+        vis_prefix, lm_prefix = "visual.", "model."
+    lm_sd = {("model." + k.removeprefix(lm_prefix)): v
+             for k, v in sd.items() if k.startswith(lm_prefix)
+             and not k.startswith(vis_prefix)}
+    if "lm_head.weight" in sd:
+        lm_sd["lm_head.weight"] = sd["lm_head.weight"]
+    return {
+        "visual": qwen2_5_vl_vision_params_from_hf(sd, vision_depth,
+                                                   prefix=vis_prefix),
+        "language_model": qwen2_params_from_hf(lm_sd, llm_cfg),
+    }
 
-    from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
-    from x2i_tpu.models.flux import FluxTransformer2D
+
+def minicpmo_params_from_hf(sd: Mapping, cfg) -> Dict:
+    """HF MiniCPM-o-2.6 state dict -> MiniCPMOEncoder params. The TTS
+    modules (tts./dvae./ vocos) are ignored (off the image path)."""
+    from x2i_tpu.convert.torch_models import (
+        resampler_params_from_reference, siglip_params_from_hf,
+        whisper_params_from_hf)
+    llm_sd = {k.removeprefix("llm."): v for k, v in sd.items()
+              if k.startswith("llm.")}
+    params = {
+        "vpm": siglip_params_from_hf(sd, cfg.vision.effective_layers,
+                                     prefix="vpm."),
+        "resampler": resampler_params_from_reference(
+            sd, cfg.llm.hidden_size, prefix="resampler."),
+        "apm": whisper_params_from_hf(sd, cfg.audio.encoder_layers,
+                                      prefix="apm."),
+        "audio_projector": {
+            "linear1": {"kernel": _np(sd["audio_projection_layer."
+                                         "linear1.weight"]).T,
+                        "bias": _np(sd["audio_projection_layer."
+                                       "linear1.bias"])},
+            "linear2": {"kernel": _np(sd["audio_projection_layer."
+                                         "linear2.weight"]).T,
+                        "bias": _np(sd["audio_projection_layer."
+                                       "linear2.bias"])}},
+        "llm": qwen2_params_from_hf(llm_sd, cfg.llm),
+    }
+    return params
+
+
+def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from x2i_tpu.data.vision import load_image_tiles
     from x2i_tpu.models.internvl import InternVLEncoder
-    from x2i_tpu.models.proj import Proj
     from x2i_tpu.models.templates import (expand_image_tokens,
                                           internvl2_5_prompt,
                                           task_instruction)
-    from x2i_tpu.models.vae import AutoencoderKL
-    from x2i_tpu.data.vision import load_image_tiles
-    from x2i_tpu.ops.quant import quantize_tree
-    from x2i_tpu.pipeline import X2IPipeline
-
-    entry = MODEL_REGISTRY[model]
-    flux_cfg: FluxConfig = entry["flux"]
-    if quantized:
-        flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": True})
-    proj_cfg: ProjConfig = entry["proj"]
-    mllm_cfg = entry["mllm"]
-    sched_cfg: SchedulerConfig = entry["scheduler"]
-    vae_cfg = VAEConfig()
-
-    flux_sd = load_safetensors_dir(os.path.join(flux_path, "transformer"))
-    flux_params = flux_params_from_diffusers(flux_sd, flux_cfg)
-    del flux_sd
-    if quantized:
-        flux_params = quantize_tree(flux_params)
-    vae_sd = load_safetensors_dir(os.path.join(flux_path, "vae"))
-    vae_params = vae_params_from_diffusers(vae_sd, vae_cfg)
-    del vae_sd
-
-    mllm_sd = load_safetensors_dir(mllm_path)
     enc_params = internvl_params_from_hf(mllm_sd, mllm_cfg)
-    del mllm_sd
-    proj_params = proj_params_from_reference(load_torch_bin(proj_path),
-                                             proj_cfg)
-
     tokenizer = AutoTokenizer.from_pretrained(mllm_path,
                                               trust_remote_code=True,
                                               use_fast=False)
@@ -241,6 +256,197 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
         mask = jnp.asarray([enc["attention_mask"]], bool)
         px = None if tiles is None else jnp.asarray(tiles)
         return encoder.apply({"params": enc_params}, ids, mask, px)
+
+    return encoder_fn
+
+
+def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
+    """Qwen2.5-VL family (images max 128^2 px, video 128^2 fps 1,
+    inference_qwenvl.py:136-180)."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from x2i_tpu.data.qwen_vision import (get_rope_index,
+                                          prepare_vision_inputs)
+    from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
+                                           Qwen2_5_VLEncoder,
+                                           QwenVisionConfig)
+    from x2i_tpu.models.templates import qwen_chat_messages
+
+    is_3b = llm_cfg.hidden_size == 2048
+    full_cfg = Qwen2_5_VLConfig(
+        vision=QwenVisionConfig(out_hidden_size=llm_cfg.hidden_size),
+        llm=llm_cfg, mrope_section=(16, 24, 24))
+    enc_params = qwen2_5_vl_params_from_hf(mllm_sd, llm_cfg)
+    tokenizer = AutoTokenizer.from_pretrained(mllm_path,
+                                              trust_remote_code=True)
+    encoder = Qwen2_5_VLEncoder(full_cfg)
+    merge_tokens = full_cfg.vision.spatial_merge_size ** 2
+
+    def encoder_fn(inputs):
+        images = inputs.get("images") or []
+        video = inputs.get("video")
+        messages = qwen_chat_messages(inputs.get("task", "text2image"),
+                                      inputs.get("prompt"),
+                                      num_images=len(images),
+                                      has_video=video is not None)
+        text = tokenizer.apply_chat_template(messages, tokenize=False,
+                                             add_generation_prompt=True)
+        vin = prepare_vision_inputs(
+            images or None, [video] if video is not None else None)
+        if vin is not None:
+            # expand each image/video pad token to its merged-token count
+            for grid in np.asarray(vin["image_grid_thw"]).reshape(-1, 3):
+                n = int(np.prod(grid)) // merge_tokens
+                text = text.replace("<|image_pad|>",
+                                    "<|placeholder|>" * n, 1)
+            for grid in np.asarray(vin["video_grid_thw"]).reshape(-1, 3):
+                n = int(np.prod(grid)) // merge_tokens
+                text = text.replace("<|video_pad|>",
+                                    "<|placeholder|>" * n, 1)
+            text = text.replace("<|placeholder|>", "<|image_pad|>")
+        enc = tokenizer(text, padding="max_length", max_length=512,
+                        truncation=True)
+        ids = np.asarray([enc["input_ids"]], np.int32)
+        mask = np.asarray([enc["attention_mask"]], np.int64)
+        pos3d, _ = get_rope_index(
+            ids,
+            image_grid_thw=(vin or {}).get("image_grid_thw"),
+            video_grid_thw=(vin or {}).get("video_grid_thw"),
+            attention_mask=mask,
+            image_token_id=full_cfg.image_token_id,
+            video_token_id=full_cfg.video_token_id,
+            vision_start_token_id=full_cfg.vision_start_token_id)
+        vdict = None
+        if vin is not None:
+            vdict = {k: jnp.asarray(vin[k]) for k in
+                     ("patches", "pos_hw", "window_seg", "image_seg",
+                      "reverse_index")}
+        return encoder.apply({"params": enc_params}, jnp.asarray(ids),
+                             jnp.asarray(mask, bool), jnp.asarray(pos3d),
+                             vdict)
+
+    return encoder_fn
+
+
+def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
+    """MiniCPM-o family: omni placeholders + bound scatter maps
+    (inference_minicpm.py:137-178)."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from x2i_tpu.data.minicpm_vision import (bounds_to_map,
+                                             log_mel_spectrogram,
+                                             audio_placeholder_len,
+                                             prepare_minicpm_vision)
+    from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
+    from x2i_tpu.models.templates import minicpm_omni_content
+
+    cfg = MiniCPMOConfig(llm=llm_cfg)
+    enc_params = minicpmo_params_from_hf(mllm_sd, cfg)
+    tokenizer = AutoTokenizer.from_pretrained(mllm_path,
+                                              trust_remote_code=True)
+    encoder = MiniCPMOEncoder(cfg)
+
+    def encoder_fn(inputs):
+        images = list(inputs.get("images") or [])
+        video = inputs.get("video")
+        if video is not None:
+            images.extend(video)           # <=64 uniform frames, host-side
+        audio = inputs.get("audio")
+        content = minicpm_omni_content(
+            inputs.get("prompt"), num_images=len(images),
+            num_audios=1 if audio is not None else 0)
+        vision = prepare_minicpm_vision(images, cfg.llm.hidden_size,
+                                        max_slice_nums=1)
+        n_aud = audio_placeholder_len(len(audio)) if audio is not None \
+            else 0
+        # expand placeholders with <unk> runs and record bounds
+        text = tokenizer.apply_chat_template(
+            [{"role": "user", "content": content}], tokenize=False,
+            add_generation_prompt=True)
+        text = text.replace(
+            "(<image>./</image>)",
+            "<image>" + "<unk>" * cfg.query_num + "</image>")
+        text = text.replace(
+            "(<audio>./</audio>)",
+            "<audio>" + "<unk>" * n_aud + "</audio>")
+        enc = tokenizer(text, padding="max_length", max_length=512,
+                        truncation=True)
+        ids = np.asarray([enc["input_ids"]], np.int32)
+        mask = np.asarray([enc["attention_mask"]], bool)
+        unk = tokenizer.convert_tokens_to_ids("<unk>")
+        # bounds: runs of <unk> in order — images first, then audio
+        spans = []
+        in_run = False
+        for i, t in enumerate(ids[0].tolist()):
+            if t == unk and not in_run:
+                start, in_run = i, True
+            elif t != unk and in_run:
+                spans.append((start, i))
+                in_run = False
+        n_img_spans = vision["num_slices"] if vision else 0
+        img_map = bounds_to_map([spans[:n_img_spans]], ids.shape[1])
+        audio_map = bounds_to_map([spans[n_img_spans:]], ids.shape[1])
+        vdict = adict = None
+        if vision:
+            vdict = {k: jnp.asarray(vision[k]) for k in
+                     ("patches", "position_ids", "patch_mask", "pos_embed")}
+        if audio is not None:
+            mel = log_mel_spectrogram(np.asarray(audio))[None]
+            adict = {"mel": jnp.asarray(mel[:, :, :4 * n_aud])}
+        return encoder.apply({"params": enc_params}, jnp.asarray(ids),
+                             jnp.asarray(mask),
+                             vdict, adict,
+                             jnp.asarray(img_map) if vision else None,
+                             jnp.asarray(audio_map) if audio is not None
+                             else None)
+
+    return encoder_fn
+
+
+def build_pipeline_from_checkpoints(model: str, flux_path: str,
+                                    mllm_path: str, proj_path: str,
+                                    num_steps: int = 4, height: int = 1024,
+                                    width: int = 1024, seed: int = 0,
+                                    quantized: bool = True):
+    """Assemble a full X2IPipeline from on-disk checkpoints for any of the
+    three encoder families (internvl / qwenvl / minicpm registry names)."""
+    from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.proj import Proj
+    from x2i_tpu.models.vae import AutoencoderKL
+    from x2i_tpu.ops.quant import quantize_tree
+    from x2i_tpu.pipeline import X2IPipeline
+
+    entry = MODEL_REGISTRY[model]
+    flux_cfg: FluxConfig = entry["flux"]
+    if quantized:
+        flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": True})
+    proj_cfg: ProjConfig = entry["proj"]
+    mllm_cfg = entry["mllm"]
+    sched_cfg: SchedulerConfig = entry["scheduler"]
+    vae_cfg = VAEConfig()
+
+    flux_sd = load_safetensors_dir(os.path.join(flux_path, "transformer"))
+    flux_params = flux_params_from_diffusers(flux_sd, flux_cfg)
+    del flux_sd
+    if quantized:
+        flux_params = quantize_tree(flux_params)
+    vae_sd = load_safetensors_dir(os.path.join(flux_path, "vae"))
+    vae_params = vae_params_from_diffusers(vae_sd, vae_cfg)
+    del vae_sd
+
+    proj_params = proj_params_from_reference(load_torch_bin(proj_path),
+                                             proj_cfg)
+    mllm_sd = load_safetensors_dir(mllm_path)
+    if "internvl" in model:
+        encoder_fn = _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path)
+    elif "qwenvl" in model:
+        encoder_fn = _qwenvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path)
+    elif "minicpm" in model:
+        encoder_fn = _minicpm_encoder_fn(mllm_sd, mllm_cfg, mllm_path)
+    else:
+        raise ValueError(f"unknown model family for {model}")
+    del mllm_sd
 
     return X2IPipeline(
         encoder_fn=encoder_fn,
