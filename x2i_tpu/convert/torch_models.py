@@ -88,6 +88,57 @@ def proj_params_from_reference(sd: Mapping, cfg: ProjConfig) -> Dict:
     return p
 
 
+def internlm2_params_from_hf(sd: Mapping, cfg: Qwen2Config) -> Dict:
+    """InternLM2 state dict -> Qwen2LM params (InternVL2.5-2B/8B-class
+    checkpoints; reference model_internvl/internvl/modeling_internlm2.py).
+
+    InternLM2 packs qkv as wqkv with rows grouped (h_kv, g+2, d): per
+    kv-head, g query heads then k then v (modeling_internlm2.py:359-372) —
+    deinterleaved here; q-head order (kv_head*g + j) matches our GQA
+    mapping h -> h // g. Use cfg.attention_bias=False / tie=False.
+    """
+    L = cfg.num_hidden_layers
+    h, hk, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                cfg.head_dim)
+    g = h // hk
+    hidden = cfg.hidden_size
+
+    def split_wqkv(i):
+        w = _np(sd[f"model.layers.{i}.attention.wqkv.weight"])  # (out, in)
+        w = w.reshape(hk, g + 2, d, hidden)
+        q = w[:, :g].reshape(h * d, hidden)
+        k = w[:, -2].reshape(hk * d, hidden)
+        v = w[:, -1].reshape(hk * d, hidden)
+        return q.T, k.T, v.T
+
+    qs, ks, vs = zip(*(split_wqkv(i) for i in range(L)))
+    p = "model.layers.{i}."
+    block = {
+        "input_norm": {"scale": _stack(sd, p + "attention_norm.weight", L,
+                                       transpose=False)},
+        "post_attn_norm": {"scale": _stack(sd, p + "ffn_norm.weight", L,
+                                           transpose=False)},
+        "q_proj": {"kernel": np.stack(qs)},
+        "k_proj": {"kernel": np.stack(ks)},
+        "v_proj": {"kernel": np.stack(vs)},
+        "o_proj": {"kernel": _stack(sd, p + "attention.wo.weight", L)},
+        "gate_proj": {"kernel": _stack(sd, p + "feed_forward.w1.weight",
+                                       L)},
+        "up_proj": {"kernel": _stack(sd, p + "feed_forward.w3.weight", L)},
+        "down_proj": {"kernel": _stack(sd, p + "feed_forward.w2.weight",
+                                       L)},
+    }
+    params = {
+        "embed_tokens": {"embedding": _np(sd["model.tok_embeddings"
+                                             ".weight"])},
+        "layers": {"block": block},
+        "final_norm": {"scale": _np(sd["model.norm.weight"])},
+    }
+    if "output.weight" in sd:
+        params["lm_head"] = {"kernel": _lin(sd, "output.weight")}
+    return params
+
+
 def siglip_params_from_hf(sd: Mapping, num_layers: int,
                           prefix: str = "vision_model.") -> Dict:
     """HF/NaViT SigLIP vision state dict -> SiglipVisionTransformer params.

@@ -112,6 +112,7 @@ class Qwen2Config:
     rope_theta: float = 1000000.0
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
+    attention_bias: bool = True      # Qwen2 True; InternLM2 False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     use_pallas_attention: bool = True

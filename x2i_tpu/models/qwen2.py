@@ -69,9 +69,10 @@ class Qwen2Block(nn.Module):
 
         x = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_norm")(
             hidden)
-        q = dense(h * d, "q_proj", True)(x).reshape(b, s, h, d)
-        k = dense(hk * d, "k_proj", True)(x).reshape(b, s, hk, d)
-        v = dense(hk * d, "v_proj", True)(x).reshape(b, s, hk, d)
+        ab = cfg.attention_bias
+        q = dense(h * d, "q_proj", ab)(x).reshape(b, s, h, d)
+        k = dense(hk * d, "k_proj", ab)(x).reshape(b, s, hk, d)
+        v = dense(hk * d, "v_proj", ab)(x).reshape(b, s, hk, d)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
 

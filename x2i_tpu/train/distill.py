@@ -101,32 +101,23 @@ def make_optimizer(dcfg: DistillConfig) -> optax.GradientTransformation:
     return opt
 
 
-def make_distill_step(
-        flux_apply: Callable,          # (params, latents, txt, pooled, t,
-                                       #  img_ids, txt_ids, guidance,
-                                       #  return_attn_outputs=True) -> (o, aux)
-        proj_apply: Callable,          # (params, (B,C,S,H)) -> (pooled, seq)
+def make_teacher_step(
+        flux_apply: Callable,
         teacher_text_fn: Callable,     # (batch) -> (t5_seq, clip_pooled)
-        student_states_fn: Callable,   # (batch) -> (B, C, S, H) mllm hiddens
-        optimizer: optax.GradientTransformation,
+        student_states_fn: Callable,   # (batch) -> (B, C, S, H)
         flux_cfg: FluxConfig,
         dcfg: DistillConfig,
         guidance_scale: Optional[float] = 3.5):
-    """Builds the jitted distillation step.
-
-    The returned fn signature:
-      step_fn(state, flux_params, batch, rng) -> (state, metrics)
-    where batch carries tokenized teacher text + MLLM inputs; all frozen
-    params are closed over as explicit args so sharding can be applied.
-    """
+    """The infer-pool body (train_minicpm.py:663-825): sample the 1-step
+    sigma=1 latents, run the teacher FLUX for KD stacks, export the MLLM
+    hidden states. Returns teacher_fn(flux_params, batch, rng) -> dict."""
     h, w = dcfg.latent_height, dcfg.latent_width
     img_ids = prepare_latent_image_ids(h, w)
     txt_ids = jnp.zeros((dcfg.text_seq_len, 3), jnp.float32)
     num_lat_ch = flux_cfg.in_channels // 4
 
-    def step_fn(state: TrainState, flux_params, batch, rng):
+    def teacher_fn(flux_params, batch, rng):
         batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        # --- sample pure-noise latents at sigma=1 (1-step schedule) ---
         latents = jax.random.normal(
             rng, (batch_size, num_lat_ch, h, w), jnp.float32)
         latents = pack_latents(latents).astype(flux_cfg.dtype)
@@ -134,18 +125,43 @@ def make_distill_step(
         guidance = (None if not flux_cfg.guidance_embeds
                     else jnp.full((batch_size,), guidance_scale,
                                   jnp.float32))
-
-        # --- teacher branch (no grads) ---
         t5_seq, clip_pooled = teacher_text_fn(batch)
         _, teacher_aux = flux_apply(
             flux_params, latents, t5_seq, clip_pooled, timestep, img_ids,
             txt_ids, guidance, return_attn_outputs=True)
-        teacher_aux = jax.lax.stop_gradient(teacher_aux)
+        mllm_states = student_states_fn(batch)
+        return {"teacher_aux": teacher_aux, "latents": latents,
+                "mllm_states": mllm_states, "timestep": timestep}
 
-        # --- MLLM hidden states (frozen) ---
-        mllm_states = jax.lax.stop_gradient(student_states_fn(batch))
+    return teacher_fn
 
-        # --- student branch: grads wrt proj only ---
+
+def make_student_step(
+        flux_apply: Callable,
+        proj_apply: Callable,
+        optimizer: optax.GradientTransformation,
+        flux_cfg: FluxConfig,
+        dcfg: DistillConfig,
+        guidance_scale: Optional[float] = 3.5):
+    """The train-pool body (train_minicpm.py:372-660): proj -> student FLUX
+    -> KD loss -> AdamW update. Returns
+    student_fn(state, flux_params, batch, teacher_out, rng)."""
+    h, w = dcfg.latent_height, dcfg.latent_width
+    img_ids = prepare_latent_image_ids(h, w)
+    txt_ids = jnp.zeros((dcfg.text_seq_len, 3), jnp.float32)
+
+    def student_fn(state: TrainState, flux_params, batch, teacher_out,
+                   rng):
+        del batch, rng
+        latents = teacher_out["latents"]
+        timestep = teacher_out["timestep"]
+        teacher_aux = jax.lax.stop_gradient(teacher_out["teacher_aux"])
+        mllm_states = jax.lax.stop_gradient(teacher_out["mllm_states"])
+        batch_size = latents.shape[0]
+        guidance = (None if not flux_cfg.guidance_embeds
+                    else jnp.full((batch_size,), guidance_scale,
+                                  jnp.float32))
+
         def loss_fn(proj_params):
             pooled, seq = proj_apply(proj_params, mllm_states)
             _, student_aux = flux_apply(
@@ -165,5 +181,36 @@ def make_distill_step(
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    return student_fn
+
+
+def make_distill_step(
+        flux_apply: Callable,          # (params, latents, txt, pooled, t,
+                                       #  img_ids, txt_ids, guidance,
+                                       #  return_attn_outputs=True) -> (o, aux)
+        proj_apply: Callable,          # (params, (B,C,S,H)) -> (pooled, seq)
+        teacher_text_fn: Callable,     # (batch) -> (t5_seq, clip_pooled)
+        student_states_fn: Callable,   # (batch) -> (B, C, S, H) mllm hiddens
+        optimizer: optax.GradientTransformation,
+        flux_cfg: FluxConfig,
+        dcfg: DistillConfig,
+        guidance_scale: Optional[float] = 3.5):
+    """The default colocated step: teacher + student in ONE jitted program
+    (SURVEY.md §7.1.2). For the reference's disaggregated-pool topology use
+    the two halves with parallel.disaggregated.DisaggregatedDistill.
+
+    Returned signature:
+      step_fn(state, flux_params, batch, rng) -> (state, metrics).
+    """
+    teacher_fn = make_teacher_step(flux_apply, teacher_text_fn,
+                                   student_states_fn, flux_cfg, dcfg,
+                                   guidance_scale)
+    student_fn = make_student_step(flux_apply, proj_apply, optimizer,
+                                   flux_cfg, dcfg, guidance_scale)
+
+    def step_fn(state: TrainState, flux_params, batch, rng):
+        teacher_out = teacher_fn(flux_params, batch, rng)
+        return student_fn(state, flux_params, batch, teacher_out, rng)
 
     return step_fn

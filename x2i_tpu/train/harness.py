@@ -19,11 +19,15 @@ from x2i_tpu.models.proj import Proj
 from x2i_tpu.models.qwen2 import Qwen2LM
 from x2i_tpu.models.t5 import T5Config, T5Encoder
 from x2i_tpu.train.distill import (TrainState, make_distill_step,
-                                   make_optimizer)
+                                   make_optimizer, make_student_step,
+                                   make_teacher_step)
 
 
-def build_tiny_distill(batch_size: int = 8, remat: bool = False):
-    """Returns (step_fn, state, flux_params, batch)."""
+def build_tiny_distill(batch_size: int = 8, remat: bool = False,
+                       split: bool = False):
+    """Returns (step_fn, state, flux_params, batch); with split=True the
+    first element is (teacher_fn, student_fn) for the disaggregated-pool
+    topology instead of the colocated step."""
     flux_cfg = tiny_flux_config(guidance_embeds=True, remat=remat)
     lm_cfg = tiny_qwen2_config()
     t5_cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
@@ -87,8 +91,14 @@ def build_tiny_distill(batch_size: int = 8, remat: bool = False):
         return states
 
     optimizer = make_optimizer(dcfg)
-    step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
-                                student_states_fn, optimizer, flux_cfg, dcfg)
     state = TrainState(proj_params, optimizer.init(proj_params),
                        jnp.zeros((), jnp.int32))
+    if split:
+        teacher_fn = make_teacher_step(flux.apply, teacher_text_fn,
+                                       student_states_fn, flux_cfg, dcfg)
+        student_fn = make_student_step(flux.apply, proj.apply, optimizer,
+                                       flux_cfg, dcfg)
+        return (teacher_fn, student_fn), state, flux_params, batch
+    step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
+                                student_states_fn, optimizer, flux_cfg, dcfg)
     return step_fn, state, flux_params, batch
