@@ -58,3 +58,33 @@ def test_cli_requires_prompt():
 def test_cli_requires_checkpoints_without_random():
     rc = cli.main(["--task", "text2image", "--prompt", "x"])
     assert rc == 2
+
+
+def test_lightcontrol_inference(pipe):
+    """Attach tiny ControlNeXt branches and generate with a control image
+    (instruction-editing inference path)."""
+    import jax
+    import jax.numpy as jnp
+    from x2i_tpu.core.config import ControlNeXtConfig
+    from x2i_tpu.models.controlnext import init_control_bank
+
+    ctrl_cfg = ControlNeXtConfig(
+        in_channels=(8, 8), out_channels=(8, 16), groups=(2, 2),
+        time_embed_dim=16, final_out_channels=pipe.flux.cfg.inner_dim,
+        dtype=jnp.float32, param_dtype=jnp.float32)
+    bank = init_control_bank(ctrl_cfg, pipe.flux.cfg.num_layers,
+                             jax.random.key(0), image_size=64)
+    cpipe = pipe.with_controls(ctrl_cfg, bank)
+
+    pooled, embeds = cpipe.encode({"prompt": "edit this", "task":
+                                   "imagetext2image"})
+    ctrl_px = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    img_ctrl = cpipe.generate(pooled, embeds, control_pixels=ctrl_px,
+                              seed=3)
+    img_plain = cpipe.generate(pooled, embeds, seed=3)
+    assert img_ctrl.shape == (1, 64, 64, 3)
+    assert not np.array_equal(img_ctrl, img_plain)
+
+    # probe: control image without attached branches -> clear error
+    with pytest.raises(ValueError, match="with_controls"):
+        pipe.generate(pooled, embeds, control_pixels=ctrl_px)

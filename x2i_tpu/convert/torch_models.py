@@ -324,6 +324,49 @@ def t5_params_from_hf(sd: Mapping, num_layers: int) -> Dict:
     }
 
 
+def clip_vision_params_from_hf(sd: Mapping, num_layers: int,
+                               prefix: str = "vision_model.") -> Dict:
+    """HF CLIPVisionModel state dict -> CLIPVisionEncoder params."""
+    p = prefix + "encoder.layers.{i}."
+
+    def lin_stack(fmt):
+        return {"kernel": _stack(sd, fmt + ".weight", num_layers),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    def ln_stack(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", num_layers,
+                                transpose=False),
+                "bias": _stack(sd, fmt + ".bias", num_layers,
+                               transpose=False)}
+
+    block = {
+        "ln1": ln_stack(p + "layer_norm1"),
+        "ln2": ln_stack(p + "layer_norm2"),
+        "q": lin_stack(p + "self_attn.q_proj"),
+        "k": lin_stack(p + "self_attn.k_proj"),
+        "v": lin_stack(p + "self_attn.v_proj"),
+        "o": lin_stack(p + "self_attn.out_proj"),
+        "fc1": lin_stack(p + "mlp.fc1"),
+        "fc2": lin_stack(p + "mlp.fc2"),
+    }
+    return {
+        "patch_embedding": {"kernel": _np(
+            sd[prefix + "embeddings.patch_embedding.weight"])
+            .transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd[prefix + "embeddings.class_embedding"]),
+        "position_embedding": _np(
+            sd[prefix + "embeddings.position_embedding.weight"]),
+        "pre_layernorm": {
+            "scale": _np(sd[prefix + "pre_layrnorm.weight"]),
+            "bias": _np(sd[prefix + "pre_layrnorm.bias"])},
+        "block": block,
+        "post_layernorm": {
+            "scale": _np(sd[prefix + "post_layernorm.weight"]),
+            "bias": _np(sd[prefix + "post_layernorm.bias"])},
+    }
+
+
 def clip_params_from_hf(sd: Mapping, num_layers: int) -> Dict:
     """HF CLIPTextModel state_dict -> CLIPTextEncoder params."""
     p = "text_model.encoder.layers.{i}."

@@ -52,12 +52,25 @@ class X2IPipeline:
         states = self.encoder_fn(encoder_inputs)
         return self.proj.apply(self.proj_params, states)
 
+    # optional LightControl branch (set by with_controls)
+    control_model: Any = None
+    control_params: Any = None
+    control_cfg: Any = None
+
+    def with_controls(self, control_cfg, control_params) -> "X2IPipeline":
+        """Attach trained ControlNeXt branches for instruction-editing
+        inference (lightcontrol_flux.py:504-507 injection)."""
+        from x2i_tpu.models.controlnext import ControlNeXt
+        return dataclasses.replace(
+            self, control_model=ControlNeXt(control_cfg),
+            control_params=control_params, control_cfg=control_cfg)
+
     @functools.cached_property
     def _generate_jit(self):
         @functools.partial(jax.jit, static_argnames=("height", "width",
                                                      "num_steps"))
         def run(flux_params, vae_params, prompt_embeds, pooled, noise,
-                guidance, height, width, num_steps):
+                control_pixels, height, width, num_steps):
             grid_h = 2 * (height // 16)
             grid_w = 2 * (width // 16)
             img_ids = prepare_latent_image_ids(grid_h, grid_w)
@@ -66,8 +79,15 @@ class X2IPipeline:
                 num_steps, image_seq_len=noise.shape[1])
 
             def model_fn(lat, pr, po, t, iid, tid, g):
+                controls = None
+                if control_pixels is not None:
+                    from x2i_tpu.models.controlnext import \
+                        apply_control_bank
+                    controls = apply_control_bank(
+                        self.control_cfg, self.control_params,
+                        control_pixels, t * 1000.0)
                 return self.flux.apply(flux_params, lat, pr, po, t, iid,
-                                       tid, guidance=g)
+                                       tid, guidance=g, controls=controls)
 
             gscale = (self.gen_cfg.guidance_scale
                       if self.flux.cfg.guidance_embeds else None)
@@ -86,9 +106,13 @@ class X2IPipeline:
     def generate(self, pooled: jnp.ndarray, prompt_embeds: jnp.ndarray,
                  height: Optional[int] = None, width: Optional[int] = None,
                  num_steps: Optional[int] = None,
-                 seed: Optional[int] = None) -> np.ndarray:
+                 seed: Optional[int] = None,
+                 control_pixels: Optional[jnp.ndarray] = None
+                 ) -> np.ndarray:
         """-> uint8 images (B, H, W, 3). Mirrors generate()
-        (inference_minicpm.py:181-215)."""
+        (inference_minicpm.py:181-215). control_pixels: optional
+        (B, H, W, 3) guidance image in [-1, 1] for the LightControl branch
+        (requires with_controls)."""
         g = self.gen_cfg
         height = height or g.height
         width = width or g.width
@@ -99,9 +123,12 @@ class X2IPipeline:
         noise = jax.random.normal(
             jax.random.key(seed),
             (batch, s_img, self.flux.cfg.in_channels), jnp.bfloat16)
+        if control_pixels is not None and self.control_model is None:
+            raise ValueError("control_pixels given but no ControlNeXt "
+                             "attached; call with_controls() first")
         out = self._generate_jit(self.flux_params, self.vae_params,
-                                 prompt_embeds, pooled, noise, None,
-                                 height, width, num_steps)
+                                 prompt_embeds, pooled, noise,
+                                 control_pixels, height, width, num_steps)
         return np.asarray(out)
 
     # ---- task surface (inference_minicpm.py:218-335) ----
