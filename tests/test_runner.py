@@ -44,3 +44,28 @@ def test_train_cli_rejects_full_without_ckpts():
     from x2i_tpu.train import cli
     rc = cli.main(["distill", "--max_train_steps", "1"])
     assert rc == 2
+
+
+def test_multihost_initialize_noop_single_process(monkeypatch):
+    from x2i_tpu.core import multihost
+    for var in ("COORDINATOR_ADDRESS", "MASTER_ADDR", "WORLD_SIZE", "RANK"):
+        monkeypatch.delenv(var, raising=False)
+    multihost.initialize()          # must no-op without a coordinator
+    assert multihost.is_main_process()
+
+
+def test_multihost_env_parsing(monkeypatch):
+    from x2i_tpu.core import multihost
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id)
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+    monkeypatch.setenv("MASTER_PORT", "4321")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    monkeypatch.setenv("RANK", "2")
+    multihost.initialize()
+    assert calls == {"addr": "10.0.0.1:4321", "n": 4, "pid": 2}
