@@ -69,3 +69,48 @@ def test_quantized_param_structure(rng):
     db = params["params"]["double_blocks"]
     assert db["img_q"]["qkernel"].dtype == jnp.int8
     assert db["img_q"]["scale"].dtype == jnp.float32
+
+
+def test_w8a8_flux_matches_fp(rng):
+    """Dynamic-activation int8 matmuls still track the fp model."""
+    cfg = tiny_flux_config()
+    qcfg = tiny_flux_config(quantized="w8a8")
+    B, GRID, S_TXT = 1, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    ref = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids)
+
+    qparams = {"params": quantize_tree(params["params"])}
+    got = FluxTransformer2D(qcfg).apply(qparams, hidden, encoder, pooled,
+                                        t, img_ids, txt_ids)
+    ref, got = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, err
+
+
+def test_w8a8_dense_accuracy(rng):
+    """Per-token+per-channel W8A8 matmul tracks f32 closely."""
+    from x2i_tpu.ops.quant import QuantDense, quantize_kernel
+    import flax.linen as nn
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    params = {"params": {"qkernel": q, "scale": s,
+                         "bias": np.zeros(16, np.float32)}}
+    got = QuantDense(16, dtype=jnp.float32, param_dtype=jnp.float32,
+                     mode="w8a8").apply(params, x)
+    want = np.asarray(x) @ w
+    rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+    assert rel < 0.03, rel

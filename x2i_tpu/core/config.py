@@ -41,7 +41,9 @@ class FluxConfig:
     param_dtype: Any = jnp.bfloat16  # parameter storage dtype
     remat: bool = False              # jax.checkpoint each block (training)
     use_pallas_attention: bool = True
-    quantized: bool = False          # int8 weight-only Dense kernels
+    quantized: Any = False           # False | True/"w8" (int8 weights) |
+                                     # "w8a8" (int8 weights + dynamic
+                                     # per-token activations on the MXU)
     shard_activations: bool = False  # tensor-parallel constraints (heads/
                                      # ffn over the mesh 'tensor' axis);
                                      # requires running under jax.set_mesh

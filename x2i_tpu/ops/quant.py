@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,11 +28,19 @@ class QuantDense(nn.Module):
     Param layout: qkernel int8 (..., in, out); scale f32 (..., out);
     bias (out,) in param_dtype. Compatible with nn.scan stacking (leading
     layer axis).
+
+    mode:
+      "w8"   — weight-only: dequantize the kernel to bf16 per use; MXU runs
+               bf16 (memory win only).
+      "w8a8" — dynamic per-token activation quantization; the matmul runs
+               int8 x int8 -> int32 on the MXU (2x bf16 rate on v5e), then
+               rescales by (row_scale x channel_scale).
     """
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    mode: str = "w8"
 
     @nn.compact
     def __call__(self, x):
@@ -40,8 +49,21 @@ class QuantDense(nn.Module):
             jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
-        w = qkernel.astype(self.dtype) * scale.astype(self.dtype)
-        y = jnp.dot(x.astype(self.dtype), w)
+        if self.mode == "w8a8":
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            a_scale = jnp.maximum(amax, 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(xf / a_scale), -127, 127
+                          ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, qkernel,
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * a_scale
+                 * scale.astype(jnp.float32)).astype(self.dtype)
+        else:
+            w = qkernel.astype(self.dtype) * scale.astype(self.dtype)
+            y = jnp.dot(x.astype(self.dtype), w)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
@@ -49,12 +71,14 @@ class QuantDense(nn.Module):
         return y
 
 
-def make_dense(quantized: bool, dtype, param_dtype):
-    """Dense factory: nn.Dense or QuantDense with identical call signature."""
+def make_dense(quantized, dtype, param_dtype):
+    """Dense factory: nn.Dense or QuantDense with identical call signature.
+    quantized: False | True ("w8") | "w8" | "w8a8"."""
     if quantized:
+        mode = quantized if isinstance(quantized, str) else "w8"
         return lambda features, name, use_bias=True: QuantDense(
             features, use_bias=use_bias, dtype=dtype,
-            param_dtype=param_dtype, name=name)
+            param_dtype=param_dtype, mode=mode, name=name)
     return lambda features, name, use_bias=True: nn.Dense(
         features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
         name=name)
