@@ -212,3 +212,49 @@ def test_pallas_backward_matches_xla_interpret(rng, causal, gqa, masked):
     for a, b, name in zip(gp, gx, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("causal,masked", [(False, False), (True, True)])
+def test_pallas_chunked_forward_interpret(rng, causal, masked):
+    """Online-softmax chunked kernel == full-KV result."""
+    from jax.experimental.pallas import tpu as pltpu
+    from x2i_tpu.ops.flash_attention import _flash_forward_chunked
+    B, H, S, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    mask = None
+    if masked:
+        m = np.ones((B, S), bool)
+        m[:, 200:] = False
+        mask = jnp.asarray(m)
+    with pltpu.force_tpu_interpret_mode():
+        got, lse = _flash_forward_chunked(q, k, v, mask, causal=causal,
+                                          scale=0.125, block_q=128,
+                                          block_k=128, return_lse=True)
+    want = fa.xla_attention(q, k, v, kv_mask=mask, causal=causal,
+                            scale=0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_long_sequence_dispatch(rng, monkeypatch):
+    """kv_seq > MAX_KV_SEQ routes to the chunked kernel and still grads."""
+    from jax.experimental.pallas import tpu as pltpu
+    import x2i_tpu.ops.flash_attention as famod
+    monkeypatch.setattr(famod, "MAX_KV_SEQ", 128)   # force chunked path
+    B, H, S, D = 1, 1, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = famod.flash_attention(q, k, v)
+        g = jax.grad(lambda q: jnp.sum(
+            famod.flash_attention(q, k, v) ** 2))(q)
+    want = famod.xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    gx = jax.grad(lambda q: jnp.sum(
+        famod.xla_attention(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=2e-3)

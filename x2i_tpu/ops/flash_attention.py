@@ -135,6 +135,115 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     return out
 
 
+def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                          acc_ref, m_ref, l_ref, *, scale: float,
+                          causal: bool, block_q: int, block_k: int):
+    """Online-softmax variant: grid (B, H, Sq/BQ, Skv/BK), kv innermost.
+    Lifts the full-KV VMEM limit for long sequences (>8k tokens)."""
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                                      # (BQ, D)
+    k = k_ref[0, 0]                                      # (BK, D)
+    v = v_ref[0, 0]
+    s = _logits(q, k, scale)                             # (BQ, BK) f32
+    s = _apply_masks(s, mask_ref, causal,
+                     pl.program_id(2) * block_q, j * block_k)
+
+    m_prev = m_ref[:]                                    # (BQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+
+
+def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
+                           block_q: int = 256, block_k: int = 512,
+                           return_lse: bool = False):
+    batch, hq, sq, d = q.shape
+    hk, skv = k.shape[1], k.shape[2]
+    group = hq // hk
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    grid = (batch, hq, pl.cdiv(sq, block_q), pl.cdiv(skv, block_k))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda b, h, i, j: (b, h // group, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda b, h, i, j: (b, h // group, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    has_mask = kv_mask is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, block_k),
+                                     lambda b, h, i, j: (b, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(kv_mask)
+
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d),
+                              lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q),
+                                      lambda b, h, i, j: (b, h, i),
+                                      memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        n_in = 3 + int(has_mask)
+        ins, outs = refs[:n_in], refs[n_in:]
+        mr = ins[3] if has_mask else None
+        if return_lse:
+            orf, lr, acc, m, l = outs
+        else:
+            (orf, acc, m, l), lr = outs, None
+        _flash_chunked_kernel(ins[0], ins[1], ins[2], mr, orf, lr, acc, m,
+                              l, scale=scale, causal=causal,
+                              block_q=block_q, block_k=block_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if return_lse else out_specs[0],
+        out_shape=tuple(out_shape) if return_lse else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running sum
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * hq * sq * skv * d,
+            bytes_accessed=(q.size + k.size * group + v.size * group)
+            * q.dtype.itemsize,
+            transcendentals=batch * hq * sq * skv,
+        ),
+    )(*args)
+    return out
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    mask_ref, dq_ref, *, scale: float, causal: bool,
                    block_q: int):
@@ -314,19 +423,35 @@ def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
     return o.reshape(batch, hq, sq, d).astype(q.dtype)
 
 
+def _fwd_impl(q, k, v, kv_mask, causal, scale, return_lse=False):
+    if k.shape[2] > MAX_KV_SEQ:
+        return _flash_forward_chunked(q, k, v, kv_mask, causal=causal,
+                                      scale=scale, return_lse=return_lse)
+    return _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
+                          return_lse=return_lse)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, kv_mask, causal, scale):
-    return _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale)
+    return _fwd_impl(q, k, v, kv_mask, causal, scale)
 
 
 def _flash_fwd(q, k, v, kv_mask, causal, scale):
-    o, lse = _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
-                            return_lse=True)
+    o, lse = _fwd_impl(q, k, v, kv_mask, causal, scale, return_lse=True)
     return o, (q, k, v, kv_mask, o, lse)
 
 
 def _flash_bwd(causal, scale, res, do):
     q, k, v, kv_mask, o, lse = res
+    if k.shape[2] > MAX_KV_SEQ:
+        # long-sequence fallback: XLA recompute autodiff (the fused bwd
+        # kernels hold full Q/do rows per kv-head in VMEM)
+        def f(q, k, v):
+            return _xla_attention(q, k, v, kv_mask, causal=causal,
+                                  scale=scale)
+        _, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq, dk, dv, None
     dq, dk, dv = _flash_backward(q, k, v, kv_mask, o, lse, do,
                                  causal=causal, scale=scale)
     return dq, dk, dv, None
@@ -347,10 +472,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def supported(q_shape, kv_seq: int) -> bool:
-    """Whether the full-KV Pallas kernel applies to these shapes."""
+    """Whether a Pallas kernel applies to these shapes (full-KV design up
+    to MAX_KV_SEQ; chunked online-softmax beyond)."""
     _, _, sq, d = q_shape
-    return (kv_seq <= MAX_KV_SEQ and d in (64, 128, 256)
-            and kv_seq % 128 == 0 and sq % 128 == 0)
+    return (d in (64, 128, 256) and kv_seq % 128 == 0 and sq % 128 == 0)
 
 
 def xla_attention(q, k, v, kv_mask=None, causal=False, scale=None,
