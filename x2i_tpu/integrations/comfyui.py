@@ -81,11 +81,22 @@ class MLLMLoader:
         }}
 
     def load(self, mllm_type: str, model_path: str):
-        from x2i_tpu.convert.load import build_pipeline_from_checkpoints  # noqa
-        # encoder construction shares the pipeline loaders; returned handle
-        # carries (encoder_fn) for MLLMEncode
-        raise NotImplementedError(
-            "requires on-disk checkpoints; wire via convert.load")
+        """Builds the encoder_fn for MLLMEncode from an HF checkpoint dir
+        (the reference repacks Qwen into a single .pt,
+        x2i_comfyui/model.py:149-179; we consume the HF layout directly)."""
+        from x2i_tpu.convert import load as L
+        from x2i_tpu.core.config import MODEL_REGISTRY
+        registry_name = {
+            "qwenvl2.5": "x2i-qwenvl2.5-7b",
+            "internvl2.5": "x2i-internvl2.5-1b",
+            "minicpm-o": "x2i-minicpm-o-2.6",
+        }[mllm_type]
+        mllm_cfg = MODEL_REGISTRY[registry_name]["mllm"]
+        sd = L.load_safetensors_dir(model_path)
+        builder = {"qwenvl2.5": L._qwenvl_encoder_fn,
+                   "internvl2.5": L._internvl_encoder_fn,
+                   "minicpm-o": L._minicpm_encoder_fn}[mllm_type]
+        return (builder(sd, mllm_cfg, model_path),)
 
 
 class ProjLoader:
