@@ -169,3 +169,59 @@ def test_mrope_tables_sections(rng):
     c1, s1 = rope_freqs_half(jnp.asarray(pos[0]), 12, 1e6)
     np.testing.assert_allclose(np.asarray(cos), np.asarray(c1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sin), np.asarray(s1), atol=1e-6)
+
+
+def test_use_answer_matches_hf_generate(hf_model, rng):
+    """encode_with_answer: greedy continuation after a multimodal prompt
+    matches HF generate (M-RoPE prefill + delta-positioned decode), and the
+    concatenated hidden stack has prefill+answer length."""
+    from PIL import Image
+    from x2i_tpu.models.qwen2_5_vl import encode_with_answer
+    cfg = _jax_models()
+    img = Image.fromarray(
+        (rng.random((24, 24, 3)) * 255).astype(np.uint8))
+    raw_patches, _ = preprocess_image(img, patch_size=4, merge_size=2,
+                                      temporal_patch_size=2,
+                                      max_pixels=24 * 24)
+    vin = prepare_vision_inputs([img], max_pixels=24 * 24, patch_size=4,
+                                merge_size=2, temporal_patch_size=2,
+                                window_size=16)
+    n = vin["patches"].shape[0] // 4
+    ids = np.array([[1, 2, 9] + [7] * n + [3, 4, 5, 6]])
+    mask = np.ones_like(ids)
+    grid = vin["image_grid_thw"]
+    pos3d, _ = get_rope_index(ids, image_grid_thw=grid,
+                              attention_mask=mask, image_token_id=7,
+                              video_token_id=8, vision_start_token_id=9)
+
+    T = 5
+    with torch.no_grad():
+        out = hf_model.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(raw_patches),
+            image_grid_thw=torch.tensor(grid),
+            max_new_tokens=T, do_sample=False, eos_token_id=-1,
+            pad_token_id=0)
+    want_tokens = out[:, ids.shape[1]:].numpy()
+
+    sd = hf_model.state_dict()
+    lm_sd = {("model." + k.removeprefix("model.language_model.")): v
+             for k, v in sd.items()
+             if k.startswith("model.language_model.")}
+    from x2i_tpu.models.qwen2_5_vl import Qwen2_5_VLEncoder
+    params = {"params": {
+        "visual": qwen2_5_vl_vision_params_from_hf(sd, 2,
+                                                   prefix="model.visual."),
+        "language_model": qwen2_params_from_hf(lm_sd, cfg.llm),
+    }}
+    enc = Qwen2_5_VLEncoder(cfg)
+    vdict = {k: jnp.asarray(v) for k, v in vin.items()
+             if k in ("patches", "pos_hw", "window_seg", "image_seg",
+                      "reverse_index")}
+    stack, tokens, valid = encode_with_answer(
+        enc, params, jnp.asarray(ids), jnp.asarray(mask, bool),
+        jnp.asarray(pos3d), vdict, max_new_tokens=T, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(tokens), want_tokens)
+    assert stack.shape == (1, cfg.llm.num_hidden_layers + 1,
+                           ids.shape[1] + T, cfg.llm.hidden_size)

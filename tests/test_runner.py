@@ -69,3 +69,13 @@ def test_multihost_env_parsing(monkeypatch):
     monkeypatch.setenv("RANK", "2")
     multihost.initialize()
     assert calls == {"addr": "10.0.0.1:4321", "n": 4, "pid": 2}
+
+
+def test_lightcontrol_cli_smoke(tmp_path):
+    from x2i_tpu.train import cli
+    rc = cli.main(["lightcontrol", "--tiny", "--batch_size", "2",
+                   "--max_train_steps", "2", "--checkpointing_steps", "100",
+                   "--output_dir", str(tmp_path / "lc")])
+    assert rc == 0
+    rc2 = cli.main(["lightcontrol", "--max_train_steps", "1"])
+    assert rc2 == 2

@@ -28,8 +28,9 @@ def greedy_decode_with_hiddens(
         lm: Qwen2LM, params, inputs_embeds: jnp.ndarray,
         attention_mask: jnp.ndarray, max_new_tokens: int,
         eos_token_id: int,
-        rope_for_prefill=None) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                        jnp.ndarray, jnp.ndarray]:
+        prefill_rope=None,
+        step_pos0: Optional[jnp.ndarray] = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy decode exporting hidden states.
 
     Args:
@@ -37,6 +38,11 @@ def greedy_decode_with_hiddens(
         spliced).
       attention_mask: (B, S0) bool.
       max_new_tokens: static decode budget.
+      prefill_rope: optional precomputed (cos, sin) for the prefill (e.g.
+        Qwen2.5-VL M-RoPE built from 3D position ids).
+      step_pos0: optional (B,) first decode position (for M-RoPE prompts:
+        max 3D position + 1 — text continuation uses identical positions
+        across the three streams, which reduces to 1D rope).
 
     Returns:
       prefill_hidden: (B, L+1, S0, H)
@@ -49,7 +55,7 @@ def greedy_decode_with_hiddens(
     cache = lm.apply(params, b, max_len, method=Qwen2LM.init_cache)
 
     prefill_hidden, logits, cache = lm.apply(
-        params, inputs_embeds, attention_mask, cache,
+        params, inputs_embeds, attention_mask, cache, prefill_rope,
         method=Qwen2LM.prefill_cached)
 
     # next-token from the last *valid* position (right padding aware)
@@ -75,7 +81,8 @@ def greedy_decode_with_hiddens(
         return ((cache, new_token, finished, pos + 1),
                 (hiddens[:, :, 0], token, valid))
 
-    pos0 = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+    pos0 = (step_pos0 if step_pos0 is not None
+            else jnp.sum(attention_mask.astype(jnp.int32), axis=-1))
     init = (cache, first_token, jnp.zeros((b,), bool), pos0)
     _, (step_hidden, tokens, valid) = jax.lax.scan(
         step, init, jnp.arange(max_new_tokens))

@@ -229,19 +229,25 @@ class Qwen2LM(nn.Module):
                  cfg.num_key_value_heads, cfg.head_dim)
         return (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
 
-    def prefill_cached(self, inputs_embeds, attention_mask, cache):
+    def prefill_cached(self, inputs_embeds, attention_mask, cache,
+                       rope=None):
         """Prefill that also fills the KV cache, for decode continuation.
 
-        Assumes the prompt occupies cache slots [0, S). Returns
-        (all_hidden (B, L+1, S, H), logits (B, S, V), cache).
+        Assumes the prompt occupies cache slots [0, S). rope: optional
+        precomputed (cos, sin) (e.g. M-RoPE for multimodal prompts).
+        Returns (all_hidden (B, L+1, S, H), logits (B, S, V), cache).
         """
         cfg = self.cfg
         b, s, _ = inputs_embeds.shape
         attention_mask = attention_mask.astype(jnp.bool_)
-        position_ids = jnp.clip(
-            jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0,
-            None)
-        cos, sin = rope_freqs_half(position_ids, cfg.head_dim, cfg.rope_theta)
+        if rope is not None:
+            cos, sin = rope
+        else:
+            position_ids = jnp.clip(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1,
+                0, None)
+            cos, sin = rope_freqs_half(position_ids, cfg.head_dim,
+                                       cfg.rope_theta)
         max_len = cache[0].shape[2]
         kv_mask = jnp.concatenate(
             [attention_mask, jnp.zeros((b, max_len - s), jnp.bool_)], axis=-1)

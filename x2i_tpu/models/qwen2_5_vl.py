@@ -218,10 +218,11 @@ class Qwen2_5_VLEncoder(nn.Module):
         feats = self.visual(patches, pos_hw, window_seg, image_seg)
         return feats[reverse_index]
 
-    def __call__(self, input_ids: jnp.ndarray,
-                 attention_mask: jnp.ndarray,
-                 position_ids_3d: jnp.ndarray,            # (3, B, S)
-                 vision_inputs: Optional[dict] = None) -> jnp.ndarray:
+    def embed_multimodal(self, input_ids: jnp.ndarray,
+                         vision_inputs: Optional[dict] = None
+                         ) -> jnp.ndarray:
+        """Token embeddings with vision features scattered at image/video
+        token positions (HF masked_scatter semantics)."""
         embeds = self.language_model.embed(input_ids)
         if vision_inputs is not None:
             feats = self.encode_vision(
@@ -238,8 +239,49 @@ class Qwen2_5_VLEncoder(nn.Module):
             flat = jnp.where(selected[:, None], gathered.astype(flat.dtype),
                              flat)
             embeds = flat.reshape(b, s, c)
-        rope = mrope_tables(position_ids_3d, self.cfg.llm.head_dim,
+        return embeds
+
+    def rope(self, position_ids_3d: jnp.ndarray):
+        return mrope_tables(position_ids_3d, self.cfg.llm.head_dim,
                             self.cfg.llm.rope_theta, self.cfg.mrope_section)
+
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: jnp.ndarray,
+                 position_ids_3d: jnp.ndarray,            # (3, B, S)
+                 vision_inputs: Optional[dict] = None) -> jnp.ndarray:
+        embeds = self.embed_multimodal(input_ids, vision_inputs)
         all_hidden, _ = self.language_model(
-            inputs_embeds=embeds, attention_mask=attention_mask, rope=rope)
+            inputs_embeds=embeds, attention_mask=attention_mask,
+            rope=self.rope(position_ids_3d))
         return all_hidden
+
+
+def encode_with_answer(encoder: Qwen2_5_VLEncoder, params,
+                       input_ids: jnp.ndarray,
+                       attention_mask: jnp.ndarray,
+                       position_ids_3d: jnp.ndarray,
+                       vision_inputs: Optional[dict],
+                       max_new_tokens: int = 128,
+                       eos_token_id: int = 151645) -> jnp.ndarray:
+    """The `--use_answer` reasoning2image conditioning
+    (/root/reference/infer/inference_qwenvl.py:121-132): generate an answer
+    and concatenate prefill + per-step hidden states along the sequence.
+
+    Text continuation after a multimodal prompt uses identical positions
+    across the three M-RoPE streams (HF rope_deltas), which reduces to 1D
+    rope at position max(pos3d)+1+step.
+    """
+    from x2i_tpu.models.decoding import (concat_answer_hiddens,
+                                         greedy_decode_with_hiddens)
+    embeds = encoder.apply(params, input_ids, vision_inputs,
+                           method=Qwen2_5_VLEncoder.embed_multimodal)
+    rope = encoder.apply(params, position_ids_3d,
+                         method=Qwen2_5_VLEncoder.rope)
+    lm_params = {"params": params["params"]["language_model"]}
+    step_pos0 = jnp.max(position_ids_3d, axis=(0, 2)) + 1
+    lm = Qwen2LM(encoder.cfg.llm)   # standalone def over the same params
+    prefill, steps, tokens, valid = greedy_decode_with_hiddens(
+        lm, lm_params, embeds, attention_mask,
+        max_new_tokens, eos_token_id, prefill_rope=rope,
+        step_pos0=step_pos0)
+    return concat_answer_hiddens(prefill, steps), tokens, valid

@@ -86,10 +86,84 @@ def run_distill(args) -> int:
 
 
 def run_lightcontrol(args) -> int:
-    print("lightcontrol full-size training requires converted checkpoints;"
-          " the jitted step is exercised in tests/test_lightcontrol.py",
-          file=sys.stderr)
-    return 2 if not args.tiny else 0
+    if not args.tiny:
+        print("lightcontrol full-size training requires converted "
+              "checkpoints; run with --tiny --synthetic for the wired-up "
+              "smoke path", file=sys.stderr)
+        return 2
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from x2i_tpu.core.config import (ControlNeXtConfig, LightControlConfig,
+                                     SchedulerConfig, VAEConfig,
+                                     tiny_flux_config)
+    from x2i_tpu.models.controlnext import init_control_bank
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.vae import AutoencoderKL
+    from x2i_tpu.train.lightcontrol import (ControlTrainState,
+                                            make_lightcontrol_optimizer,
+                                            make_lightcontrol_step)
+    from x2i_tpu.train.runner import TrainLoop
+
+    flux_cfg = tiny_flux_config(guidance_embeds=True, in_channels=16)
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 8, 8),
+                        layers_per_block=1, latent_channels=4,
+                        norm_num_groups=4, dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+    ctrl_cfg = ControlNeXtConfig(in_channels=(8, 8), out_channels=(8, 16),
+                                 groups=(2, 2), time_embed_dim=16,
+                                 final_out_channels=flux_cfg.inner_dim,
+                                 dtype=jnp.float32,
+                                 param_dtype=jnp.float32)
+    ccfg = LightControlConfig(
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        learning_rate=args.learning_rate)
+    PX, B, S_txt = 32, args.batch_size, 8
+    flux = FluxTransformer2D(flux_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+    px = jnp.asarray(rng.standard_normal((B, PX, PX, 3)), jnp.float32)
+    vae_params = vae.init(key, px[:1])
+    s_img = (PX // 16) ** 2
+    flux_params = flux.init(
+        key, jnp.zeros((1, s_img, flux_cfg.in_channels)),
+        jnp.zeros((1, S_txt, flux_cfg.joint_attention_dim)),
+        jnp.zeros((1, flux_cfg.pooled_projection_dim)), jnp.zeros((1,)),
+        jnp.zeros((s_img, 3)), jnp.zeros((S_txt, 3)),
+        guidance=jnp.ones((1,)),
+        controls=jnp.zeros((flux_cfg.num_layers, 1, s_img,
+                            flux_cfg.inner_dim)))
+    bank = init_control_bank(ctrl_cfg, flux_cfg.num_layers, key,
+                             image_size=PX)
+    prompt = jnp.asarray(
+        rng.standard_normal((B, S_txt, flux_cfg.joint_attention_dim)),
+        jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, flux_cfg.pooled_projection_dim)),
+        jnp.float32)
+    opt = make_lightcontrol_optimizer(ccfg)
+    step = make_lightcontrol_step(
+        flux.apply,
+        lambda p, r: vae.apply(vae_params, p, r, method=vae.encode),
+        lambda b: (pooled, prompt), ctrl_cfg, flux_cfg, ccfg,
+        SchedulerConfig(shift=3.0), opt)
+    state = ControlTrainState(bank, opt.init(bank),
+                              jnp.zeros((), jnp.int32))
+
+    def batches():
+        while True:
+            yield {"style_pixels": px}
+
+    loop = TrainLoop(step, state, flux_params, batches(),
+                     checkpoint_dir=args.output_dir,
+                     checkpointing_steps=args.checkpointing_steps,
+                     seed=args.seed, log_every=10)
+    metrics = loop.run(args.max_train_steps)
+    print(f"final: {metrics}")
+    return 0
 
 
 def main(argv=None) -> int:
