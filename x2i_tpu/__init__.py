@@ -17,3 +17,26 @@ Layering (bottom → top), mirroring SURVEY.md §1 but TPU-idiomatic:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import x2i_tpu` light)
+    if name == "X2IPipeline":
+        from x2i_tpu.pipeline import X2IPipeline
+        return X2IPipeline
+    if name == "build_random_pipeline":
+        from x2i_tpu.pipeline import build_random_pipeline
+        return build_random_pipeline
+    if name == "build_pipeline_from_checkpoints":
+        from x2i_tpu.convert.load import build_pipeline_from_checkpoints
+        return build_pipeline_from_checkpoints
+    if name == "MODEL_REGISTRY":
+        from x2i_tpu.core.config import MODEL_REGISTRY
+        return MODEL_REGISTRY
+    if name == "MultiTurnSession":
+        from x2i_tpu.multiturn import MultiTurnSession
+        return MultiTurnSession
+    if name == "BatchingServer":
+        from x2i_tpu.serve import BatchingServer
+        return BatchingServer
+    raise AttributeError(name)
