@@ -101,3 +101,23 @@ def test_distill_step_sharded_multidevice():
         lambda a, b: float(jnp.abs(a - b).max()), state.params,
         state2.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_distill_with_8bit_adam():
+    """use_8bit_adam flag: distillation trains with fp8-moment optimizer
+    (reference launchers default to bnb AdamW8bit)."""
+    import jax.numpy as jnp
+    from x2i_tpu.train.distill import make_optimizer
+    dcfg = DistillConfig(use_8bit_adam=True, lr_warmup_steps=1,
+                         max_train_steps=100, learning_rate=1e-3)
+    opt = make_optimizer(dcfg)
+    params = {"w": jnp.zeros((300,))}
+    state = opt.init(params)
+    # fp8 moments present inside the chained/multi-step state
+    leaves = jax.tree_util.tree_leaves(
+        state, is_leaf=lambda x: hasattr(x, "dtype"))
+    assert any(getattr(l, "dtype", None) == jnp.float8_e4m3fn
+               for l in leaves)
+    g = {"w": jnp.ones((300,))}
+    updates, _ = opt.update(g, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -220,6 +220,8 @@ class DistillConfig:
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
+    use_8bit_adam: bool = False      # reference launchers default to bnb
+                                     # AdamW8bit (train_minicpm.sh:23)
     kd_temperature: float = 3.0      # train_minicpm.py:607
     latent_height: int = 128         # 128x128 latent grid = 4096 img tokens
     latent_width: int = 128

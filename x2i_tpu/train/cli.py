@@ -36,6 +36,7 @@ def build_parser():
     d.add_argument("--max_train_steps", type=int, default=100_000)
     d.add_argument("--gradient_accumulation_steps", type=int, default=1)
     d.add_argument("--max_grad_norm", type=float, default=1.0)
+    d.add_argument("--use_8bit_adam", action="store_true")
     d.add_argument("--checkpointing_steps", type=int, default=1000)
     d.add_argument("--checkpoints_total_limit", type=int, default=5)
     d.add_argument("--output_dir", default="ckpt_distill")

@@ -90,12 +90,16 @@ def make_optimizer(dcfg: DistillConfig) -> optax.GradientTransformation:
         init_value=0.0, peak_value=dcfg.learning_rate,
         warmup_steps=dcfg.lr_warmup_steps,
         decay_steps=dcfg.max_train_steps, end_value=0.0)
-    opt = optax.chain(
-        optax.clip_by_global_norm(dcfg.max_grad_norm),
-        optax.adamw(schedule, b1=dcfg.adam_beta1, b2=dcfg.adam_beta2,
-                    eps=dcfg.adam_epsilon,
-                    weight_decay=dcfg.adam_weight_decay),
-    )
+    if dcfg.use_8bit_adam:
+        from x2i_tpu.train.optim8bit import adamw8bit
+        adam = adamw8bit(schedule, b1=dcfg.adam_beta1, b2=dcfg.adam_beta2,
+                         eps=dcfg.adam_epsilon,
+                         weight_decay=dcfg.adam_weight_decay)
+    else:
+        adam = optax.adamw(schedule, b1=dcfg.adam_beta1,
+                           b2=dcfg.adam_beta2, eps=dcfg.adam_epsilon,
+                           weight_decay=dcfg.adam_weight_decay)
+    opt = optax.chain(optax.clip_by_global_norm(dcfg.max_grad_norm), adam)
     if dcfg.gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, dcfg.gradient_accumulation_steps)
     return opt
