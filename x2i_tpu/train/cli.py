@@ -69,7 +69,7 @@ def run_distill(args) -> int:
 
     from x2i_tpu.train.harness import build_tiny_distill
     step_fn, state, flux_params, batch = build_tiny_distill(
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, use_8bit_adam=args.use_8bit_adam)
 
     def batches():
         while True:

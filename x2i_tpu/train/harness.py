@@ -24,7 +24,7 @@ from x2i_tpu.train.distill import (TrainState, make_distill_step,
 
 
 def build_tiny_distill(batch_size: int = 8, remat: bool = False,
-                       split: bool = False):
+                       split: bool = False, use_8bit_adam: bool = False):
     """Returns (step_fn, state, flux_params, batch); with split=True the
     first element is (teacher_fn, student_fn) for the disaggregated-pool
     topology instead of the colocated step."""
@@ -45,7 +45,7 @@ def build_tiny_distill(batch_size: int = 8, remat: bool = False,
                           dtype=jnp.float32, param_dtype=jnp.float32)
     dcfg = DistillConfig(latent_height=8, latent_width=8, text_seq_len=12,
                          lr_warmup_steps=1, max_train_steps=100,
-                         learning_rate=1e-3)
+                         learning_rate=1e-3, use_8bit_adam=use_8bit_adam)
 
     flux = FluxTransformer2D(flux_cfg)
     lm = Qwen2LM(lm_cfg)
