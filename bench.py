@@ -43,6 +43,13 @@ def _watchdog():
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from x2i_tpu.core.config import FluxConfig, SchedulerConfig, VAEConfig
     from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
                                    prepare_latent_image_ids, unpack_latents)

@@ -16,6 +16,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# persistent compile cache: the suite is compile-dominated (~100 tiny-model
+# jit programs); caching across runs cuts wall time substantially
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "all")
+except Exception:  # older jax: cache flags unavailable
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
