@@ -318,3 +318,20 @@ def test_minicpmo_converter_matches_model(rng):
     out = enc.apply(params, jnp.asarray(ids), jnp.ones((1, 12), bool))
     assert out.shape == (1, llm.num_hidden_layers + 1, 12, H)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_native_checkpoint_roundtrip(tmp_path, rng):
+    """save_native/load_native: orbax tree roundtrip incl. int8 leaves."""
+    from x2i_tpu.convert.cli import load_native, save_native
+    from x2i_tpu.ops.quant import quantize_tree
+    tree = {"a": {"kernel": rng.standard_normal((8, 4)).astype(np.float32),
+                  "bias": np.zeros(4, np.float32)},
+            "emb": rng.standard_normal((10, 8)).astype(np.float32)}
+    qtree = quantize_tree(tree)
+    path = str(tmp_path / "ckpt")
+    save_native(path, qtree)
+    back = load_native(path)
+    assert back["a"]["qkernel"].dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(back["a"]["qkernel"]),
+                                  np.asarray(qtree["a"]["qkernel"]))
+    np.testing.assert_allclose(np.asarray(back["emb"]), tree["emb"])
