@@ -123,3 +123,38 @@ def test_timestep_embedding_matches_diffusers_convention():
     emb = torch.tensor(t)[:, None] * exponent.exp()[None]
     want = torch.cat([emb.cos(), emb.sin()], dim=-1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("flag", ["shard_activations", "shard_sequence"])
+def test_parallel_sharding_matches_unsharded(rng, flag):
+    """TP/SP sharding constraints change placement, not math."""
+    from x2i_tpu.core.config import MeshConfig
+    from x2i_tpu.core.mesh import make_mesh
+    cfg = tiny_flux_config()
+    scfg = tiny_flux_config(**{flag: True})
+    B = 4
+    hidden = jnp.asarray(
+        rng.standard_normal((B, S_IMG, cfg.in_channels)), jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)),
+        jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    want = model.apply(params, hidden, encoder, pooled, t, img_ids,
+                       txt_ids)
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=1, tensor=2),
+                     devices=jax.devices()[:8])
+    smodel = FluxTransformer2D(scfg)
+    with jax.set_mesh(mesh):
+        got = jax.jit(smodel.apply)(params, hidden, encoder, pooled, t,
+                                    img_ids, txt_ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)

@@ -47,6 +47,11 @@ class FluxConfig:
     shard_activations: bool = False  # tensor-parallel constraints (heads/
                                      # ffn over the mesh 'tensor' axis);
                                      # requires running under jax.set_mesh
+    shard_sequence: bool = False     # sequence-parallel: residual-stream
+                                     # tokens sharded over 'tensor' between
+                                     # blocks (XLA inserts the attention
+                                     # all-gathers); for >1024^2 token
+                                     # counts (SURVEY §5.7)
 
     @property
     def inner_dim(self) -> int:

@@ -93,6 +93,17 @@ def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def _shard_seq(x: jnp.ndarray, cfg: FluxConfig) -> jnp.ndarray:
+    """Sequence-parallel constraint on a (B, S, D) residual stream: tokens
+    sharded over the 'tensor' axis between blocks; XLA all-gathers K/V for
+    the joint attention and reduce-scatters afterwards."""
+    if not cfg.shard_sequence:
+        return x
+    from jax.sharding import PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        x, P(("data", "fsdp"), "tensor", None))
+
+
 class FluxDoubleBlock(nn.Module):
     """Dual-stream MMDiT block (lightcontrol_flux.py:108-204).
 
@@ -178,6 +189,8 @@ class FluxDoubleBlock(nn.Module):
             # LightControl residual injection (lightcontrol_flux.py:504-507).
             hidden = hidden + control.astype(hidden.dtype)
 
+        hidden = _shard_seq(hidden, cfg)
+        encoder = _shard_seq(encoder, cfg)
         return (hidden, encoder), (img_attn, txt_attn)
 
 
@@ -221,6 +234,7 @@ class FluxSingleBlock(nn.Module):
         mlp = _shard(mlp, cfg, ("data", "fsdp"), None, "tensor")
         out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
         hidden = hidden + gate[:, None, :] * out
+        hidden = _shard_seq(hidden, cfg)
         return hidden, attn
 
 
