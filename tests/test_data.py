@@ -201,3 +201,30 @@ def test_lightcontrol_datamodule(tmp_path):
     # editing pair used style_zh; self-recon used the generic instruction
     assert "梵高风格" in seen_instructions[0]
     assert "请描述这张图片" in seen_instructions[1]
+
+
+def test_video_uniform_sampling(tmp_path):
+    from PIL import Image
+    from x2i_tpu.data.video import load_video_frames, uniform_sample_indices
+
+    # policy: 1 fps from 24 fps video = every 24th frame; cap at 64
+    idx = uniform_sample_indices(240, fps=24.0)
+    assert idx == list(range(0, 240, 24))
+    idx2 = uniform_sample_indices(24 * 200, fps=24.0)
+    assert len(idx2) == 64
+
+    # GIF decode path
+    frames = [Image.new("RGB", (8, 8), (i * 10, 0, 0)) for i in range(25)]
+    gif = str(tmp_path / "v.gif")
+    frames[0].save(gif, save_all=True, append_images=frames[1:])
+    out = load_video_frames(gif, assumed_fps=24.0)
+    assert 1 <= len(out) <= 64
+
+    # array input
+    arr = np.zeros((50, 8, 8, 3), np.uint8)
+    out2 = load_video_frames(arr, assumed_fps=24.0)
+    assert len(out2) == 3   # every 24th of 50 frames
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot decode"):
+        load_video_frames(str(tmp_path / "missing.mp4"))
