@@ -14,6 +14,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 TASKS = ("text2image", "image2image", "imagetext2image", "video2image",
          "audio2image", "x2image")
 
@@ -71,6 +73,15 @@ def main(argv=None) -> int:
     if args.image:
         from PIL import Image
         images = [Image.open(p).convert("RGB") for p in args.image]
+    if args.video:
+        from x2i_tpu.data.video import load_video_frames
+        video = load_video_frames(args.video)   # 1fps, <=64 frames
+    if args.audio:
+        import wave
+        with wave.open(args.audio) as w:
+            raw = w.readframes(w.getnframes())
+            audio = (np.frombuffer(raw, np.int16).astype(np.float32)
+                     / 32768.0)
     if args.task in ("image2image", "imagetext2image", "x2image") \
             and images is None and not args.random_weights:
         print("error: task requires --image", file=sys.stderr)
@@ -80,8 +91,7 @@ def main(argv=None) -> int:
         return 2
 
     out = pipe.run_task(args.task, prompt=args.prompt, images=images,
-                        video=args.video, audio=args.audio,
-                        seed=args.seed)
+                        video=video, audio=audio, seed=args.seed)
 
     from PIL import Image
     img = Image.fromarray(out[0])
