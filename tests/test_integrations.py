@@ -106,3 +106,19 @@ def test_proj_with_t5_refiner(rng):
     pooled, seq = proj.apply(params, x)
     assert pooled.shape == (2, 8) and seq.shape == (2, 4, 12)
     assert np.isfinite(np.asarray(seq)).all()
+
+
+def test_inference_prompt_semantics():
+    """Inference prompts: InternVL wraps in the 2-key dict with constant
+    'no'; MiniCPM/Qwen pass the raw prompt (reference infer scripts)."""
+    from x2i_tpu.models.templates import (minicpm_omni_content,
+                                          qwen_chat_messages,
+                                          task_instruction)
+    assert task_instruction("imagetext2image", "Add a car") == (
+        "{'Text input': 'Add a car', "
+        "'Instruction editing description': 'no'}")
+    msgs = qwen_chat_messages("imagetext2image", "Add a car", num_images=1)
+    assert msgs[0]["content"][-1] == {"type": "text", "text": "Add a car"}
+    content = minicpm_omni_content("Add a car", num_images=2, num_audios=1)
+    assert content == ("(<image>./</image>)\n" * 2
+                       + "(<audio>./</audio>)\n" + "Add a car")

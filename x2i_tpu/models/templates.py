@@ -48,53 +48,40 @@ def expand_image_tokens(query: str, num_patches_list: Sequence[int],
 def task_instruction(task: str, prompt: Optional[str] = None,
                      num_images: int = 0, has_audio: bool = False,
                      has_video: bool = False) -> str:
-    """The canonical instruction dict per task. All three reference
-    inference scripts wrap the user text as
-    {"Text input": ..., "Instruction editing description": "no", ...}
-    (inference_internvl.py:165, datamodule_minicpm.py:280)."""
-    text = prompt or ""
-    edit = "no"
-    if task == "imagetext2image" and prompt:
-        # editing/expression/OCR prompts ride the instruction slot
-        edit = prompt
-        text = ""
-    d: Dict[str, str] = {"Text input": text,
-                         "Instruction editing description": edit}
-    if num_images or has_video:
-        d["image input"] = "yes"
-    else:
-        d["image input"] = "no"
-    return str(d)
+    """InternVL inference instruction wrapper: the user text rides
+    "Text input" and the editing slot is the constant "no"
+    (inference_internvl.py:165-187). MiniCPM/Qwen inference pass the RAW
+    prompt instead (minicpm_omni_content / qwen_chat_messages); the richer
+    dicts appear only in the training datamodules."""
+    del task, num_images, has_audio, has_video
+    return str({"Text input": prompt or "",
+                "Instruction editing description": "no"})
 
 
 def qwen_chat_messages(task: str, prompt: Optional[str],
                        num_images: int = 0, has_video: bool = False,
                        has_audio: bool = False) -> List[Dict]:
     """Qwen2.5-VL chat message list (inference_qwenvl.py:136-180):
-    content = [image/video/audio entries..., {"type":"text", ...}]."""
+    content = [image/video entries..., {"type": "text", raw prompt}]."""
+    del task, has_audio
     content: List[Dict] = []
     for _ in range(num_images):
         content.append({"type": "image"})
     if has_video:
         content.append({"type": "video"})
-    if has_audio:
-        content.append({"type": "audio"})
-    content.append({
-        "type": "text",
-        "text": task_instruction(task, prompt, num_images, has_audio,
-                                 has_video)})
+    if prompt is not None:
+        content.append({"type": "text", "text": prompt})
     return [{"role": "user", "content": content}]
 
 
 def minicpm_omni_content(prompt: Optional[str], num_images: int = 0,
                          num_audios: int = 0,
                          num_video_frames: int = 0) -> str:
-    """MiniCPM-o message content with (<image>./</image>) and
-    (<audio>./</audio>) placeholders (inference_minicpm.py:137-178)."""
-    parts = []
-    parts.extend(["(<image>./</image>)"] * (num_images + num_video_frames))
-    parts.extend(["(<audio>./</audio>)"] * num_audios)
-    parts.append(task_instruction(
-        "x2image" if (num_images and num_audios) else "any", prompt,
-        num_images + num_video_frames, num_audios > 0))
-    return "\n".join(parts)
+    """MiniCPM-o message content: "(<image>./</image>)\n" per image/frame,
+    "(<audio>./</audio>)\n" per audio, then the RAW prompt
+    (inference_minicpm.py:137-158)."""
+    content = "(<image>./</image>)\n" * (num_images + num_video_frames)
+    content += "(<audio>./</audio>)\n" * num_audios
+    if prompt is not None:
+        content += prompt
+    return content
