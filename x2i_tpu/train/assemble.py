@@ -69,21 +69,46 @@ def assemble_distill(model: str, flux_path: str, mllm_path: str,
     clip_params = {"params": clip_params_from_hf(
         load_safetensors_dir(clip_path), clip_cfg.num_hidden_layers)}
 
-    # MLLM encoder (InternVL family shown; qwen/minicpm mirror
-    # convert.load's family dispatch)
-    if "internvl" not in model:
-        raise NotImplementedError(
-            "full-size distillation assembly currently wires the InternVL "
-            "family; qwen/minicpm reuse the same skeleton with their "
-            "encoder builders from convert.load")
-    from x2i_tpu.models.internvl import InternVLEncoder
-    enc = InternVLEncoder(mllm_cfg)
-    enc_params = {"params": internvl_params_from_hf(
-        load_safetensors_dir(mllm_path), mllm_cfg)}
+    # MLLM encoder: the phase-1 corpus is text-only (100k captions,
+    # BASELINE.md), so the student path is a text prefill per family.
+    mllm_sd = load_safetensors_dir(mllm_path)
+    if "internvl" in model:
+        from x2i_tpu.models.internvl import InternVLEncoder
+        enc = InternVLEncoder(mllm_cfg)
+        enc_params = {"params": internvl_params_from_hf(mllm_sd, mllm_cfg)}
 
-    def student_states_fn(batch):
-        return enc.apply(enc_params, batch["mllm_ids"],
-                         batch["mllm_mask"], None)
+        def student_states_fn(batch):
+            return enc.apply(enc_params, batch["mllm_ids"],
+                             batch["mllm_mask"], None)
+    elif "qwenvl" in model:
+        from x2i_tpu.convert.load import qwen2_5_vl_params_from_hf
+        from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
+                                               Qwen2_5_VLEncoder,
+                                               QwenVisionConfig)
+        full_cfg = Qwen2_5_VLConfig(
+            vision=QwenVisionConfig(out_hidden_size=mllm_cfg.hidden_size),
+            llm=mllm_cfg)
+        enc = Qwen2_5_VLEncoder(full_cfg)
+        enc_params = {"params": qwen2_5_vl_params_from_hf(mllm_sd,
+                                                          mllm_cfg)}
+
+        def student_states_fn(batch):
+            mask = batch["mllm_mask"].astype(jnp.int32)
+            pos = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0, None)
+            pos3d = jnp.broadcast_to(pos[None], (3,) + pos.shape)
+            return enc.apply(enc_params, batch["mllm_ids"],
+                             batch["mllm_mask"], pos3d, None)
+    else:  # minicpm
+        from x2i_tpu.convert.load import minicpmo_params_from_hf
+        from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
+        ocfg = MiniCPMOConfig(llm=mllm_cfg)
+        enc = MiniCPMOEncoder(ocfg)
+        enc_params = {"params": minicpmo_params_from_hf(mllm_sd, ocfg)}
+
+        def student_states_fn(batch):
+            return enc.apply(enc_params, batch["mllm_ids"],
+                             batch["mllm_mask"])
+    del mllm_sd
 
     def teacher_text_fn(batch):
         seq = t5.apply(t5_params, batch["t5_ids"], batch["t5_mask"])
@@ -128,11 +153,21 @@ def assemble_distill(model: str, flux_path: str, mllm_path: str,
         return clip_tok(caption, padding="max_length", max_length=77,
                         truncation=True)["input_ids"]
 
+    # training-time prompt wrapper per family: InternVL uses the conv
+    # template over str(Instructions) (datamodule_internvl.py:283-291);
+    # qwen/minicpm run their chat templates (datamodule_{qwenvl,
+    # minicpm}.py:269-302)
+    if "internvl" in model:
+        chat_template = lambda s: internvl2_5_prompt(s)  # noqa: E731
+    else:
+        chat_template = lambda s: mllm_tok.apply_chat_template(  # noqa
+            [{"role": "user", "content": s}], tokenize=False,
+            add_generation_prompt=True)
+
     dm = DistillDataModule(
         DistillDataConfig(urls=urls, batch_size=dcfg.train_batch_size,
                           text_seq_len=dcfg.text_seq_len),
         mllm_tokenize=mllm_tokenize, t5_tokenize=t5_tokenize,
-        clip_tokenize=clip_tokenize,
-        chat_template=lambda s: internvl2_5_prompt(s))
+        clip_tokenize=clip_tokenize, chat_template=chat_template)
 
     return step_fn, state, flux_params, dm.train_loader
