@@ -83,3 +83,17 @@ def test_chunk_bias():
     b1 = chunk_bias(6, 2, num_left_chunks=1)[0, 0]
     # frame 5 (chunk 2) with 1 left chunk: cols 2..5
     assert (b1[5, 2:] == 0).all() and (b1[5, :2] < -1e29).all()
+
+
+def test_pipeline_serving_integration():
+    """BatchingServer over the real pipeline: concurrent prompts get their
+    own images through one batched jitted generate."""
+    from x2i_tpu.pipeline import build_random_pipeline
+    pipe = build_random_pipeline("tiny")
+    srv = pipe.serving_server(batch_size=2, max_wait_s=0.2)
+    futs = [srv.submit({"task": "text2image", "prompt": p})
+            for p in ("a red cat", "a blue dog")]
+    imgs = [f.result(300) for f in futs]
+    assert imgs[0].shape == (64, 64, 3)
+    assert not np.array_equal(imgs[0], imgs[1])   # different prompts
+    srv.close()

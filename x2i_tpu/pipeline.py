@@ -164,6 +164,27 @@ class X2IPipeline:
         return self.run_task("x2image", prompt=prompt, images=images,
                              audio=audio, **kw)
 
+    def run_batch(self, requests, **gen_kwargs) -> np.ndarray:
+        """Batched generation for the serving engine: encodes each request
+        (same padded shapes per encoder), stacks the conditioning, runs ONE
+        jitted denoise. requests: list of run_task-style dicts."""
+        pooled_list, embed_list = [], []
+        for req in requests:
+            pooled, embeds = self.encode(req)
+            pooled_list.append(pooled)
+            embed_list.append(embeds)
+        pooled = jnp.concatenate(pooled_list, axis=0)
+        embeds = jnp.concatenate(embed_list, axis=0)
+        return self.generate(pooled, embeds, **gen_kwargs)
+
+    def serving_server(self, batch_size: int = 1, max_wait_s: float = 0.05,
+                       **gen_kwargs):
+        """-> x2i_tpu.serve.BatchingServer over this pipeline."""
+        from x2i_tpu.serve import BatchingServer
+        return BatchingServer(
+            lambda reqs: self.run_batch(reqs, **gen_kwargs),
+            batch_size=batch_size, max_wait_s=max_wait_s)
+
 
 def build_random_pipeline(scale: str = "tiny",
                           seed: int = 0,
