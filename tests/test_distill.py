@@ -121,3 +121,71 @@ def test_distill_with_8bit_adam():
     g = {"w": jnp.ones((300,))}
     updates, _ = opt.update(g, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_inline_kd_matches_two_pass(rng):
+    """The inline per-block KD path (scalars leave the scan) computes the
+    same loss as the materialized two-pass kd_loss."""
+    from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+    from x2i_tpu.models.flux import FluxTransformer2D
+
+    cfg = tiny_flux_config()
+    B, GRID, S_TXT = 2, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)),
+        jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 1.0)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    # teacher aux = a perturbed run
+    _, teacher_aux = model.apply(params, hidden, encoder * 1.1, pooled, t,
+                                 img_ids, txt_ids,
+                                 return_attn_outputs=True)
+    _, student_aux = model.apply(params, hidden, encoder, pooled, t,
+                                 img_ids, txt_ids,
+                                 return_attn_outputs=True)
+    want = kd_loss(teacher_aux, student_aux, 3.0)
+
+    _, got = model.apply(params, hidden, encoder, pooled, t, img_ids,
+                         txt_ids, kd_targets=teacher_aux,
+                         kd_temperature=3.0)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
+
+
+def test_inline_kd_distill_step(rng):
+    """End-to-end distill step with inline_kd=True: loss matches the
+    default path and still decreases."""
+    from x2i_tpu.train.harness import build_tiny_distill
+    import dataclasses
+    step_fn, state, flux_params, batch = _build_tiny_trainer(batch_size=4)
+    # rebuild with inline kd via harness is not parameterized; compare the
+    # first-step losses of both paths by patching dcfg through a fresh
+    # harness copy
+    import x2i_tpu.train.harness as H
+    import x2i_tpu.core.config as C
+    orig = C.DistillConfig
+    _, m_ref = jax.jit(step_fn)(state, flux_params, batch,
+                                jax.random.key(3))
+
+    class PatchedCfg(orig):
+        def __new__(cls, *a, **kw):
+            kw["inline_kd"] = True
+            return orig(*a, **kw)
+
+    H.DistillConfig = PatchedCfg
+    try:
+        step2, state2, flux2, batch2 = H.build_tiny_distill(batch_size=4)
+    finally:
+        H.DistillConfig = orig
+    _, m_inline = jax.jit(step2)(state2, flux2, batch2, jax.random.key(3))
+    np.testing.assert_allclose(float(m_inline["loss"]),
+                               float(m_ref["loss"]), rtol=1e-4)

@@ -227,6 +227,9 @@ class DistillConfig:
     adam_epsilon: float = 1e-8
     use_8bit_adam: bool = False      # reference launchers default to bnb
                                      # AdamW8bit (train_minicpm.sh:23)
+    inline_kd: bool = False          # compute per-block KD terms inside
+                                     # the student scan (scalars leave the
+                                     # scan instead of GB-scale stacks)
     kd_temperature: float = 3.0      # train_minicpm.py:607
     latent_height: int = 128         # 128x128 latent grid = 4096 img tokens
     latent_width: int = 128

@@ -108,12 +108,16 @@ class FluxDoubleBlock(nn.Module):
     """Dual-stream MMDiT block (lightcontrol_flux.py:108-204).
 
     __call__ takes/returns a (hidden, encoder_hidden) carry so it can run
-    under nn.scan; per-block attention outputs are returned as ys.
+    under nn.scan; per-block attention outputs are returned as ys — or,
+    when a per-layer kd_target is supplied, the per-block KD terms are
+    computed inline and only scalars leave the scan (SURVEY §7.3.3: the
+    full student stacks are ~GBs at the 4096-token operating point).
     """
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, carry, temb, rope, control):
+    def __call__(self, carry, temb, rope, control, kd_target=None,
+                 kd_tau=3.0):
         cfg = self.cfg
         hidden, encoder = carry
         dim = cfg.inner_dim
@@ -191,6 +195,11 @@ class FluxDoubleBlock(nn.Module):
 
         hidden = _shard_seq(hidden, cfg)
         encoder = _shard_seq(encoder, cfg)
+        if kd_target is not None:
+            from x2i_tpu.ops.kd import kl_term
+            t_img, t_txt = kd_target
+            return (hidden, encoder), (kl_term(t_img, img_attn, kd_tau),
+                                       kl_term(t_txt, txt_attn, kd_tau))
         return (hidden, encoder), (img_attn, txt_attn)
 
 
@@ -201,7 +210,7 @@ class FluxSingleBlock(nn.Module):
     cfg: FluxConfig
 
     @nn.compact
-    def __call__(self, hidden, temb, rope):
+    def __call__(self, hidden, temb, rope, kd_target=None, kd_tau=3.0):
         cfg = self.cfg
         dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
@@ -235,6 +244,9 @@ class FluxSingleBlock(nn.Module):
         out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
         hidden = hidden + gate[:, None, :] * out
         hidden = _shard_seq(hidden, cfg)
+        if kd_target is not None:
+            from x2i_tpu.ops.kd import kl_term
+            return hidden, kl_term(kd_target, attn, kd_tau)
         return hidden, attn
 
 
@@ -252,7 +264,9 @@ class FluxTransformer2D(nn.Module):
                  txt_ids: jnp.ndarray,              # (S_txt, 3)
                  guidance: Optional[jnp.ndarray] = None,   # (B,) in [0, 1]
                  controls: Optional[jnp.ndarray] = None,   # (19, B, S_img, d)
-                 return_attn_outputs: bool = False):
+                 return_attn_outputs: bool = False,
+                 kd_targets: Optional[dict] = None,        # teacher aux
+                 kd_temperature: float = 3.0):
         cfg = self.cfg
         dim = cfg.inner_dim
         dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
@@ -288,25 +302,37 @@ class FluxTransformer2D(nn.Module):
             SingleBlock = nn.remat(SingleBlock, prevent_cse=False,
                                    static_argnums=())
 
-        # Controls (LightControl) are consumed one-per-layer as scan xs; with
-        # no controls the argument is broadcast as None.
+        # Controls (LightControl) and inline-KD teacher targets are
+        # consumed one-per-layer as scan xs; absent args broadcast as None.
+        # kd_targets arrive in the reference (B, L, S, D) layout.
         control_axis = nn.broadcast if controls is None else 0
+        if kd_targets is not None:
+            kd_double = (jnp.swapaxes(kd_targets["double_img"], 0, 1),
+                         jnp.swapaxes(kd_targets["double_txt"], 0, 1))
+            kd_single = jnp.swapaxes(kd_targets["single"], 0, 1)
+            kd_axis = 0
+        else:
+            kd_double = kd_single = None
+            kd_axis = nn.broadcast
         (hidden, encoder), (img_attns, txt_attns) = nn.scan(
             DoubleBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, control_axis),
+            in_axes=(nn.broadcast, nn.broadcast, control_axis, kd_axis,
+                     nn.broadcast),
             length=cfg.num_layers,
-        )(cfg, name="double_blocks")((hidden, encoder), temb, rope, controls)
+        )(cfg, name="double_blocks")((hidden, encoder), temb, rope,
+                                     controls, kd_double, kd_temperature)
 
         joint = jnp.concatenate([encoder, hidden], axis=1)
         joint, single_attns = nn.scan(
             SingleBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, kd_axis, nn.broadcast),
             length=cfg.num_single_layers,
-        )(cfg, name="single_blocks")(joint, temb, rope)
+        )(cfg, name="single_blocks")(joint, temb, rope, kd_single,
+                                     kd_temperature)
 
         hidden = joint[:, encoder.shape[1]:, :]
 
@@ -317,6 +343,11 @@ class FluxTransformer2D(nn.Module):
         output = dense(cfg.patch_size ** 2 * cfg.in_channels,
                        "proj_out")(hidden)
 
+        if kd_targets is not None:
+            # inline KD: ys were per-layer scalars
+            kl_total = (jnp.sum(img_attns) + jnp.sum(txt_attns)
+                        + jnp.sum(single_attns))
+            return output, kl_total
         if return_attn_outputs:
             # Match the reference KD stacks' (B, L, S, D) layout
             # (train_minicpm.py:335-337).

@@ -40,29 +40,8 @@ from x2i_tpu.diffusion.sampling import (pack_latents,
                                         prepare_latent_image_ids)
 
 
-def normalize_logit(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """(x - mean) / (eps + std), std with Bessel correction (torch default)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    n = xf.shape[-1]
-    var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / (n - 1)
-    return (xf - mean) / (eps + jnp.sqrt(var))
-
-
-def _kl_term(teacher: jnp.ndarray, student: jnp.ndarray,
-             tau: float) -> jnp.ndarray:
-    """One block's KD term, 'batchmean' over everything but batch.
-
-    teacher/student: (B, S, D). Mirrors
-    F.kl_div(log_softmax(norm(T)/tau), softmax(norm(S)/tau), 'batchmean').
-    """
-    b = teacher.shape[0]
-    logp_t = jax.nn.log_softmax(normalize_logit(teacher) / tau, axis=-1)
-    log_q_s = jax.nn.log_softmax(normalize_logit(student) / tau, axis=-1)
-    q_s = jnp.exp(log_q_s)
-    kl = jnp.sum(q_s * (log_q_s - logp_t)) / b
-    # reference skips non-finite terms (train_minicpm.py:611-625)
-    return jnp.where(jnp.isfinite(kl), kl, 0.0)
+from x2i_tpu.ops.kd import kl_term as _kl_term  # noqa: E402
+from x2i_tpu.ops.kd import normalize_logit  # noqa: F401,E402
 
 
 def kd_loss(teacher_aux: Dict[str, jnp.ndarray],
@@ -168,6 +147,13 @@ def make_student_step(
 
         def loss_fn(proj_params):
             pooled, seq = proj_apply(proj_params, mllm_states)
+            if dcfg.inline_kd:
+                _, kl = flux_apply(
+                    flux_params, latents, seq.astype(flux_cfg.dtype),
+                    pooled.astype(flux_cfg.dtype), timestep, img_ids,
+                    txt_ids, guidance, kd_targets=teacher_aux,
+                    kd_temperature=dcfg.kd_temperature)
+                return kl
             _, student_aux = flux_apply(
                 flux_params, latents, seq.astype(flux_cfg.dtype),
                 pooled.astype(flux_cfg.dtype), timestep, img_ids, txt_ids,
