@@ -335,3 +335,20 @@ def test_native_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(back["a"]["qkernel"]),
                                   np.asarray(qtree["a"]["qkernel"]))
     np.testing.assert_allclose(np.asarray(back["emb"]), tree["emb"])
+
+
+def test_load_safetensors_dir_torch_free(tmp_path):
+    """Directory loader reads bf16 safetensors without torch."""
+    import jax.numpy as jnp2
+    from safetensors.flax import save_file
+    from x2i_tpu.convert.load import load_safetensors_dir
+    save_file({"w": jnp2.ones((2, 3), jnp2.bfloat16)},
+              str(tmp_path / "a.safetensors"))
+    save_file({"b": jnp2.arange(4, dtype=jnp2.float32)},
+              str(tmp_path / "b.safetensors"))
+    sd = load_safetensors_dir(str(tmp_path))
+    assert set(sd) == {"w", "b"}
+    assert sd["w"].shape == (2, 3)
+    assert str(sd["w"].dtype) == "bfloat16"
+    # converters transpose/stack numpy bf16 fine
+    assert sd["w"].T.shape == (3, 2)

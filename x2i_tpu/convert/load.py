@@ -28,17 +28,18 @@ from x2i_tpu.convert.torch_models import (_np, _stack, flux_params_from_diffuser
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    """Load all *.safetensors under path into one numpy state dict
-    (bf16 via torch)."""
-    import torch
-    from safetensors.torch import load_file
+    """Load all *.safetensors under path into one array state dict.
+
+    Torch-free: safetensors' flax loader reads bf16 directly (serving
+    doesn't need a torch import); the converters' _np handles either."""
+    from safetensors.flax import load_file
     sd: Dict[str, np.ndarray] = {}
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no safetensors in {path}")
     for f in files:
         for k, v in load_file(f).items():
-            sd[k] = _np(v)
+            sd[k] = np.asarray(v)
     return sd
 
 
