@@ -46,13 +46,10 @@ class BatchingServer:
         return self.submit(request).result(timeout)
 
     def _collect(self) -> List:
+        import time
         items = [self._queue.get()]
-        deadline = None
+        deadline = time.monotonic() + self.max_wait_s
         while len(items) < self.batch_size:
-            if deadline is None:
-                import time
-                deadline = time.monotonic() + self.max_wait_s
-            import time
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
