@@ -228,3 +228,32 @@ def test_video_uniform_sampling(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cannot decode"):
         load_video_frames(str(tmp_path / "missing.mp4"))
+
+
+def test_multiprocess_loader():
+    """Worker-pool sample production (the Ray/rpyc tier equivalent)."""
+    from x2i_tpu.data.loader import MultiprocessLoader
+
+    def make_iterable(worker_id, num_workers):
+        return ({"w": worker_id, "i": i} for i in range(3))
+
+    loader = MultiprocessLoader(make_iterable, num_workers=2,
+                                cpu_preprocess=lambda s: {**s, "p": 1})
+    out = []
+    for sample in loader:
+        out.append(sample)
+        if len(out) == 6:
+            break
+    assert all(s["p"] == 1 for s in out)
+    assert {s["w"] for s in out} == {0, 1}
+
+
+def test_multiprocess_loader_error():
+    from x2i_tpu.data.loader import MultiprocessLoader
+
+    def make_iterable(worker_id, num_workers):
+        raise RuntimeError("worker boom")
+
+    loader = MultiprocessLoader(make_iterable, num_workers=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
