@@ -16,17 +16,27 @@ B,H,S,D = 1,24,4608,128
 q = jnp.asarray(rng.standard_normal((B,H,S,D)), jnp.bfloat16)
 k = jnp.asarray(rng.standard_normal((B,H,S,D)), jnp.bfloat16)
 v = jnp.asarray(rng.standard_normal((B,H,S,D)), jnp.bfloat16)
+grad_pallas = jax.jit(jax.grad(lambda q,k,v: jnp.sum(fa.flash_attention(q,k,v).astype(jnp.float32)**2), argnums=(0,1,2)))
+grad_xla = jax.jit(jax.grad(lambda q,k,v: jnp.sum(fa.xla_attention(q,k,v).astype(jnp.float32)**2), argnums=(0,1,2)))
+fwd_pallas = jax.jit(lambda q,k,v: fa.flash_attention(q,k,v))
 t0=time.perf_counter()
-g = jax.jit(jax.grad(lambda q,k,v: jnp.sum(fa.flash_attention(q,k,v).astype(jnp.float32)**2), argnums=(0,1,2)))(q,k,v)
+g = grad_pallas(q,k,v)
 jax.block_until_ready(g)
 print(f"fused bwd kernels: compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-gx = jax.jit(jax.grad(lambda q,k,v: jnp.sum(fa.xla_attention(q,k,v).astype(jnp.float32)**2), argnums=(0,1,2)))(q,k,v)
+gx = grad_xla(q,k,v)
 errs = [float(jnp.max(jnp.abs(a.astype(jnp.float32)-b.astype(jnp.float32)))) for a,b in zip(g, gx)]
 print("bwd maxerr dq/dk/dv:", errs, flush=True)
-t0=time.perf_counter()
-for _ in range(10): g = jax.jit(jax.grad(lambda q,k,v: jnp.sum(fa.flash_attention(q,k,v).astype(jnp.float32)**2), argnums=(0,1,2)))(q,k,v)
-jax.block_until_ready(g)
-print(f"bwd per-iter: {(time.perf_counter()-t0)/10*1e3:.1f} ms", flush=True)
+
+def timeit(f, *a, n=20):
+    jax.block_until_ready(f(*a))
+    t0=time.perf_counter()
+    for _ in range(n): r = f(*a)
+    jax.block_until_ready(r)
+    return (time.perf_counter()-t0)/n*1e3
+
+print(f"fwd per-iter (pallas): {timeit(fwd_pallas,q,k,v):.2f} ms", flush=True)
+print(f"fwd+bwd per-iter (pallas): {timeit(grad_pallas,q,k,v):.2f} ms", flush=True)
+print(f"fwd+bwd per-iter (xla): {timeit(grad_xla,q,k,v):.2f} ms", flush=True)
 
 # 2) chunked forward at 16k tokens
 S2 = 16384

@@ -43,9 +43,9 @@ def _logits(q, k, scale):
         preferred_element_type=jnp.float32) * scale
 
 
-def _apply_masks(s, mask_ref, causal, row_offset, col_offset):
-    if mask_ref is not None:
-        s = jnp.where(mask_ref[:], s, NEG_INF)
+def _apply_masks(s, mask, causal, row_offset, col_offset):
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
     if causal:
         rows = row_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = col_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -61,7 +61,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     v = v_ref[0, 0]                                      # (Skv, D)
 
     s = _logits(q, k, scale)                             # (BQ, Skv) f32
-    s = _apply_masks(s, mask_ref, causal,
+    s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
                      pl.program_id(2) * block_q, 0)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -71,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
                 preferred_element_type=jnp.float32) / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+        lse_ref[0, 0] = m + jnp.log(l)                   # (BQ, 1)
 
 
 def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
@@ -94,18 +94,23 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     args = [q, k, v]
     has_mask = kv_mask is not None
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, skv), lambda b, h, i: (b, 0),
+        # rank-3 (B, 1, Skv) so both trailing block dims equal the array's
+        # (Mosaic requires last-two block dims (8,128)-divisible or full).
+        in_specs.append(pl.BlockSpec((1, 1, skv), lambda b, h, i: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(kv_mask)
+        args.append(kv_mask[:, None, :])
 
     out_shape = [jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d),
                               lambda b, h, i: (b, h, i, 0),
                               memory_space=pltpu.VMEM)]
     if return_lse:
-        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, block_q),
-                                      lambda b, h, i: (b, h, i),
+        # trailing unit dim keeps the block's last-two dims (block_q, 1)
+        # legal on Mosaic (block_q % 8 == 0; 1 == array dim)
+        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq, 1),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 1),
+                                      lambda b, h, i: (b, h, i, 0),
                                       memory_space=pltpu.VMEM))
 
     def kernel(*refs):
@@ -132,6 +137,8 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
             transcendentals=batch * hq * sq * skv,
         ),
     )(*args)
+    if return_lse:
+        return out[0], out[1][..., 0]
     return out
 
 
@@ -153,7 +160,7 @@ def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     k = k_ref[0, 0]                                      # (BK, D)
     v = v_ref[0, 0]
     s = _logits(q, k, scale)                             # (BQ, BK) f32
-    s = _apply_masks(s, mask_ref, causal,
+    s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
                      pl.program_id(2) * block_q, j * block_k)
 
     m_prev = m_ref[:]                                    # (BQ, 1)
@@ -169,7 +176,7 @@ def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _():
         o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0, 0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+            lse_ref[0, 0] = m_ref[:] + jnp.log(l_ref[:])   # (BQ, 1)
 
 
 def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
@@ -195,20 +202,20 @@ def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
     args = [q, k, v]
     has_mask = kv_mask is not None
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, block_k),
-                                     lambda b, h, i, j: (b, j),
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, h, i, j: (b, 0, j),
                                      memory_space=pltpu.VMEM))
-        args.append(kv_mask)
+        args.append(kv_mask[:, None, :])
 
     out_shape = [jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d),
                               lambda b, h, i, j: (b, h, i, 0),
                               memory_space=pltpu.VMEM)]
     if return_lse:
-        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq),
+        out_shape.append(jax.ShapeDtypeStruct((batch, hq, sq, 1),
                                               jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, block_q),
-                                      lambda b, h, i, j: (b, h, i),
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 1),
+                                      lambda b, h, i, j: (b, h, i, 0),
                                       memory_space=pltpu.VMEM))
 
     def kernel(*refs):
@@ -241,6 +248,8 @@ def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
             transcendentals=batch * hq * sq * skv,
         ),
     )(*args)
+    if return_lse:
+        return out[0], out[1][..., 0]
     return out
 
 
@@ -251,11 +260,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)               # (BQ, D)
-    lse = lse_ref[0, 0].reshape(-1, 1)                  # (BQ, 1)
-    delta = delta_ref[0, 0].reshape(-1, 1)              # (BQ, 1)
+    lse = lse_ref[0, 0]                                 # (BQ, 1)
+    delta = delta_ref[0, 0]                             # (BQ, 1)
 
     s = _logits(q, k, scale)
-    s = _apply_masks(s, mask_ref, causal, pl.program_id(2) * block_q, 0)
+    s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
+                     pl.program_id(2) * block_q, 0)
     p = jnp.exp(s - lse)                                # (BQ, Skv)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
@@ -277,10 +287,11 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     for g in range(group):                              # static unroll
         q = q_ref[0, 0, g]                              # (Sq, D)
         do = do_ref[0, 0, g].astype(jnp.float32)        # (Sq, D)
-        lse = lse_ref[0, 0, g].reshape(-1, 1)           # (Sq, 1)
-        delta = delta_ref[0, 0, g].reshape(-1, 1)
+        lse = lse_ref[0, 0, g]                          # (Sq, 1)
+        delta = delta_ref[0, 0, g]                      # (Sq, 1)
         s = _logits(q, k, scale)                        # (Sq, BK)
-        s = _apply_masks(s, mask_ref, causal, 0, col0)
+        s = _apply_masks(s, None if mask_ref is None else mask_ref[0],
+                         causal, 0, col0)
         p = jnp.exp(s - lse)                            # (Sq, BK)
         dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -317,17 +328,17 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, h, i),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q, k, v, do, lse, delta]
+    args = [q, k, v, do, lse[..., None], delta[..., None]]
     has_mask = kv_mask is not None
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, skv), lambda b, h, i: (b, 0),
+        in_specs.append(pl.BlockSpec((1, 1, skv), lambda b, h, i: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(kv_mask)
+        args.append(kv_mask[:, None, :])
 
     def dq_kernel(*refs):
         if has_mask:
@@ -350,16 +361,16 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     # ---- dk / dv ---- (grid over kv blocks; group summed in-kernel)
     qg = q.reshape(batch, hk, group, sq, d)
     dog = do.reshape(batch, hk, group, sq, d)
-    lseg = lse.reshape(batch, hk, group, sq)
-    deltag = delta.reshape(batch, hk, group, sq)
+    lseg = lse.reshape(batch, hk, group, sq, 1)
+    deltag = delta.reshape(batch, hk, group, sq, 1)
     in_specs = [
         pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, group, sq), lambda b, h, j: (b, h, 0, 0),
+        pl.BlockSpec((1, 1, group, sq, 1), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, group, sq), lambda b, h, j: (b, h, 0, 0),
+        pl.BlockSpec((1, 1, group, sq, 1), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
                      memory_space=pltpu.VMEM),
@@ -368,9 +379,10 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     ]
     args2 = [qg, dog, lseg, deltag, k, v]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, block_k), lambda b, h, j: (b, j),
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, h, j: (b, 0, j),
                                      memory_space=pltpu.VMEM))
-        args2.append(kv_mask)
+        args2.append(kv_mask[:, None, :])
 
     def dkv_kernel(*refs):
         if has_mask:
