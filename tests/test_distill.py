@@ -189,3 +189,63 @@ def test_inline_kd_distill_step(rng):
     _, m_inline = jax.jit(step2)(state2, flux2, batch2, jax.random.key(3))
     np.testing.assert_allclose(float(m_inline["loss"]),
                                float(m_ref["loss"]), rtol=1e-4)
+
+
+def test_int8_kd_stacks_close_to_dense(rng):
+    """Per-token int8 teacher stacks give the same KD loss to ~1% (both
+    through the two-pass kd_loss and the inline scan path)."""
+    from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.ops.kd import dequantize_kd, quantize_kd_stacks
+
+    cfg = tiny_flux_config()
+    B, GRID, S_TXT = 2, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)),
+        jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 1.0)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    _, teacher_aux = model.apply(params, hidden, encoder * 1.1, pooled, t,
+                                 img_ids, txt_ids,
+                                 return_attn_outputs=True)
+    _, student_aux = model.apply(params, hidden, encoder, pooled, t,
+                                 img_ids, txt_ids,
+                                 return_attn_outputs=True)
+    qaux = quantize_kd_stacks(teacher_aux)
+    # round-trip sanity
+    rt = dequantize_kd(qaux["single"])
+    rel = float(jnp.max(jnp.abs(rt - teacher_aux["single"]))
+                / jnp.max(jnp.abs(teacher_aux["single"])))
+    assert rel < 0.01, rel
+
+    want = kd_loss(teacher_aux, student_aux, 3.0)
+    got_twopass = kd_loss(qaux, student_aux, 3.0)
+    # the tiny-model loss is ~4e-3, so quant noise shows up as a small
+    # absolute offset in the target distribution
+    np.testing.assert_allclose(float(got_twopass), float(want), atol=1e-3)
+
+    _, got_inline = model.apply(params, hidden, encoder, pooled, t, img_ids,
+                                txt_ids, kd_targets=qaux,
+                                kd_temperature=3.0)
+    np.testing.assert_allclose(float(got_inline), float(got_twopass),
+                               rtol=2e-3)
+
+    # in-scan quantization (bf16 stacks never materialize) == post-hoc
+    _, qaux_scan = model.apply(params, hidden, encoder * 1.1, pooled, t,
+                               img_ids, txt_ids, return_attn_outputs=True,
+                               quantize_attn_outputs=True)
+    for key in qaux:
+        np.testing.assert_array_equal(np.asarray(qaux_scan[key][0]),
+                                      np.asarray(qaux[key][0]))
+        np.testing.assert_allclose(np.asarray(qaux_scan[key][1]),
+                                   np.asarray(qaux[key][1]), rtol=1e-6)

@@ -158,3 +158,72 @@ def test_parallel_sharding_matches_unsharded(rng, flag):
                                     img_ids, txt_ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4)
+
+
+def test_stack_remat_matches_block_remat(rng):
+    """remat="stack" (remat around each whole scan) is numerically
+    identical to block-level remat, forward and gradient."""
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    base = FluxTransformer2D(tiny_flux_config(remat=True))
+    stack = FluxTransformer2D(tiny_flux_config(remat="stack"))
+    params = base.init(jax.random.key(0), hidden, encoder, pooled, t,
+                       img_ids, txt_ids)
+
+    def loss(model, enc):
+        out = model.apply(params, hidden, enc, pooled, t, img_ids, txt_ids)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    f_base = jax.jit(jax.value_and_grad(lambda e: loss(base, e)))
+    f_stack = jax.jit(jax.value_and_grad(lambda e: loss(stack, e)))
+    lb, gb = f_base(encoder)
+    ls, gs = f_stack(encoder)
+    np.testing.assert_allclose(float(ls), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gb), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_chunked_single_scan_matches_flat(rng):
+    """single_scan_chunks=2 (sqrt-checkpointed singles) is numerically
+    identical to the flat scan, forward and gradient, with params
+    reshaped from the flat checkpoint layout."""
+    from x2i_tpu.models.flux import chunk_single_scan_params
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    flat = FluxTransformer2D(tiny_flux_config(remat="stack"))
+    chunked = FluxTransformer2D(tiny_flux_config(remat="stack",
+                                                 single_scan_chunks=2))
+    params = flat.init(jax.random.key(0), hidden, encoder, pooled, t,
+                       img_ids, txt_ids)
+    cparams = chunk_single_scan_params(params, 2)
+
+    def loss(model, p, enc):
+        out = model.apply(p, hidden, enc, pooled, t, img_ids, txt_ids)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    lb, gb = jax.jit(jax.value_and_grad(
+        lambda e: loss(flat, params, e)))(encoder)
+    ls, gs = jax.jit(jax.value_and_grad(
+        lambda e: loss(chunked, cparams, e)))(encoder)
+    np.testing.assert_allclose(float(ls), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gb), rtol=1e-5,
+                               atol=1e-6)
+
+    # chunked aux comes back as a per-chunk list; concat matches flat
+    _, aux_f = flat.apply(params, hidden, encoder, pooled, t, img_ids,
+                          txt_ids, return_attn_outputs=True)
+    _, aux_c = chunked.apply(cparams, hidden, encoder, pooled, t, img_ids,
+                             txt_ids, return_attn_outputs=True)
+    assert isinstance(aux_c["single"], list) and len(aux_c["single"]) == 2
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(x) for x in aux_c["single"]], axis=1),
+        np.asarray(aux_f["single"]), rtol=1e-6)
+
+    # chunked-teacher aux (list form) feeds the chunked inline-KD student
+    # copy-free, and matches the two-pass kd_loss
+    from x2i_tpu.train.distill import kd_loss
+    _, kl = chunked.apply(cparams, hidden, encoder * 1.1, pooled, t,
+                          img_ids, txt_ids, kd_targets=aux_c,
+                          kd_temperature=3.0)
+    _, aux_s = chunked.apply(cparams, hidden, encoder * 1.1, pooled, t,
+                             img_ids, txt_ids, return_attn_outputs=True)
+    np.testing.assert_allclose(float(kl), float(kd_loss(aux_c, aux_s, 3.0)),
+                               rtol=2e-3)

@@ -114,3 +114,29 @@ def test_w8a8_dense_accuracy(rng):
     want = np.asarray(x) @ w
     rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
     assert rel < 0.03, rel
+
+
+def test_w8a8_ste_gradient(rng):
+    """w8a8 is differentiable w.r.t. the input (straight-through backward
+    against the dequantized kernel); frozen qkernel/scale get no grads."""
+    from x2i_tpu.ops.quant import QuantDense, quantize_kernel
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    params = {"params": {"qkernel": q, "scale": s,
+                         "bias": np.zeros(16, np.float32)}}
+    layer = QuantDense(16, dtype=jnp.float32, param_dtype=jnp.float32,
+                       mode="w8a8")
+
+    dx = jax.grad(lambda x: jnp.sum(layer.apply(params, x) ** 2))(x)
+    wq = q.astype(np.float32) * s                       # dequantized kernel
+    y = layer.apply(params, x)
+    want = 2.0 * np.asarray(y) @ wq.T                   # d/dx sum(y^2), STE
+    rel = np.abs(np.asarray(dx) - want).max() / np.abs(want).max()
+    assert rel < 0.05, rel
+    assert not np.allclose(np.asarray(dx), 0.0)
+
+    # grads w.r.t. params exist structurally but are zero (frozen stack)
+    gp = jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2),
+                  allow_int=True)(params)
+    assert np.allclose(np.asarray(gp["params"]["scale"]), 0.0)

@@ -39,7 +39,14 @@ class FluxConfig:
     qk_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16        # activation/computation dtype
     param_dtype: Any = jnp.bfloat16  # parameter storage dtype
-    remat: bool = False              # jax.checkpoint each block (training)
+    remat: Any = False               # False | True (checkpoint each block) |
+                                     # "stack" (also checkpoint each whole
+                                     # scan: carries become ephemeral in bwd)
+    single_scan_chunks: int = 1      # >1 (divides num_single_layers): nest
+                                     # the single-block scan as chunks x per
+                                     # with remat per chunk (sqrt-
+                                     # checkpointing of the 38-deep stack;
+                                     # params reshape to (chunks, per, ...))
     use_pallas_attention: bool = True
     quantized: Any = False           # False | True/"w8" (int8 weights) |
                                      # "w8a8" (int8 weights + dynamic
@@ -227,6 +234,8 @@ class DistillConfig:
     adam_epsilon: float = 1e-8
     use_8bit_adam: bool = False      # reference launchers default to bnb
                                      # AdamW8bit (train_minicpm.sh:23)
+    kd_stacks_int8: bool = False     # per-token int8 teacher KD stacks:
+                                     # halves their HBM/transfer footprint
     inline_kd: bool = False          # compute per-block KD terms inside
                                      # the student scan (scalars leave the
                                      # scan instead of GB-scale stacks)

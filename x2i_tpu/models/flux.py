@@ -114,11 +114,13 @@ class FluxDoubleBlock(nn.Module):
     full student stacks are ~GBs at the 4096-token operating point).
     """
     cfg: FluxConfig
+    kd_quantize: bool = False      # emit ys as int8 (values, scales) pairs
 
     @nn.compact
     def __call__(self, carry, temb, rope, control, kd_target=None,
                  kd_tau=3.0):
         cfg = self.cfg
+        kd_quantize = self.kd_quantize
         hidden, encoder = carry
         dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
@@ -200,6 +202,10 @@ class FluxDoubleBlock(nn.Module):
             t_img, t_txt = kd_target
             return (hidden, encoder), (kl_term(t_img, img_attn, kd_tau),
                                        kl_term(t_txt, txt_attn, kd_tau))
+        if kd_quantize:
+            from x2i_tpu.ops.kd import quantize_kd_tensor
+            return (hidden, encoder), (quantize_kd_tensor(img_attn),
+                                       quantize_kd_tensor(txt_attn))
         return (hidden, encoder), (img_attn, txt_attn)
 
 
@@ -208,10 +214,12 @@ class FluxSingleBlock(nn.Module):
     + MLP with a fused output projection; attention has no out-proj
     (pre_only) — its raw head-concat output is the distillation target."""
     cfg: FluxConfig
+    kd_quantize: bool = False      # emit ys as int8 (values, scales) pairs
 
     @nn.compact
     def __call__(self, hidden, temb, rope, kd_target=None, kd_tau=3.0):
         cfg = self.cfg
+        kd_quantize = self.kd_quantize
         dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
@@ -247,6 +255,9 @@ class FluxSingleBlock(nn.Module):
         if kd_target is not None:
             from x2i_tpu.ops.kd import kl_term
             return hidden, kl_term(kd_target, attn, kd_tau)
+        if kd_quantize:
+            from x2i_tpu.ops.kd import quantize_kd_tensor
+            return hidden, quantize_kd_tensor(attn)
         return hidden, attn
 
 
@@ -265,8 +276,15 @@ class FluxTransformer2D(nn.Module):
                  guidance: Optional[jnp.ndarray] = None,   # (B,) in [0, 1]
                  controls: Optional[jnp.ndarray] = None,   # (19, B, S_img, d)
                  return_attn_outputs: bool = False,
+                 quantize_attn_outputs: bool = False,      # aux as int8
                  kd_targets: Optional[dict] = None,        # teacher aux
-                 kd_temperature: float = 3.0):
+                 kd_temperature: float = 3.0,
+                 aux_layout: str = "reference"):
+        # aux_layout: "reference" = (B, L, S, D) KD stacks matching
+        # train_minicpm.py:335-337; "scan" = the scan-native (L, B, S, D)
+        # layout, which skips the transpose copies on both the teacher
+        # emit and the student consume (use for the internal
+        # teacher->student path; ~0.8 GB of int8 copies at full size).
         cfg = self.cfg
         dim = cfg.inner_dim
         dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
@@ -301,38 +319,102 @@ class FluxTransformer2D(nn.Module):
                                    static_argnums=())
             SingleBlock = nn.remat(SingleBlock, prevent_cse=False,
                                    static_argnums=())
+        # remat="stack": additionally remat around each whole scan so the
+        # per-step carries (~28 MB x 57 blocks = 1.6 GB at the 4096-token
+        # training point) become ephemeral temps of the chunk's backward
+        # instead of staying live across the entire DiT backward. Costs one
+        # extra forward recompute per stack; enables full-size phase-1
+        # training on a single 16 GB chip.
+        stack_remat = ((lambda m: nn.remat(m, prevent_cse=False))
+                       if cfg.remat == "stack" else (lambda m: m))
 
         # Controls (LightControl) and inline-KD teacher targets are
         # consumed one-per-layer as scan xs; absent args broadcast as None.
         # kd_targets arrive in the reference (B, L, S, D) layout.
         control_axis = nn.broadcast if controls is None else 0
         if kd_targets is not None:
-            kd_double = (jnp.swapaxes(kd_targets["double_img"], 0, 1),
-                         jnp.swapaxes(kd_targets["double_txt"], 0, 1))
-            kd_single = jnp.swapaxes(kd_targets["single"], 0, 1)
+            # values may be dense (B, L, S, D) arrays or int8-quantized
+            # (values, scales) tuples (ops/kd.quantize_kd_stacks); the
+            # "single" entry may additionally be a LIST of per-chunk stacks
+            # (produced by a single_scan_chunks>1 teacher) — kept separate
+            # so the chunked student consumes each directly as scan xs
+            # without slicing copies.
+            if aux_layout == "scan":
+                def swap(t):
+                    return t
+            else:
+                def swap(t):
+                    return jax.tree_util.tree_map(
+                        lambda x: jnp.swapaxes(x, 0, 1), t)
+            kd_double = (swap(kd_targets["double_img"]),
+                         swap(kd_targets["double_txt"]))
+            kd_single = kd_targets["single"]
+            kd_single = ([swap(t) for t in kd_single]
+                         if isinstance(kd_single, list) else
+                         swap(kd_single))
             kd_axis = 0
         else:
             kd_double = kd_single = None
             kd_axis = nn.broadcast
-        (hidden, encoder), (img_attns, txt_attns) = nn.scan(
+        kd_quant = quantize_attn_outputs and kd_targets is None
+        (hidden, encoder), (img_attns, txt_attns) = stack_remat(nn.scan(
             DoubleBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, control_axis, kd_axis,
                      nn.broadcast),
             length=cfg.num_layers,
-        )(cfg, name="double_blocks")((hidden, encoder), temb, rope,
-                                     controls, kd_double, kd_temperature)
+        ))(cfg, kd_quant, name="double_blocks")(
+            (hidden, encoder), temb, rope, controls, kd_double,
+            kd_temperature)
 
         joint = jnp.concatenate([encoder, hidden], axis=1)
-        joint, single_attns = nn.scan(
-            SingleBlock,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, kd_axis, nn.broadcast),
-            length=cfg.num_single_layers,
-        )(cfg, name="single_blocks")(joint, temb, rope, kd_single,
-                                     kd_temperature)
+        chunks = cfg.single_scan_chunks
+        if chunks > 1:
+            # sqrt-checkpointing: a python-unrolled loop over `chunks`
+            # remat'd scans of num_single_layers/chunks blocks each. The
+            # backward holds one chunk's carries (~chunks-fold less HBM
+            # than a flat scan). Separately-named per-chunk param stacks
+            # (single_blocks_0..) keep each remat unit's params program
+            # ARGUMENTS — a scanned/sliced param stack would be a computed
+            # value the remat must copy-save (+GBs at full size). Use
+            # chunk_single_scan_params to convert flat checkpoints.
+            assert cfg.num_single_layers % chunks == 0, (
+                cfg.num_single_layers, chunks)
+            per = cfg.num_single_layers // chunks
+
+            def chunk_xs(t, i):
+                if t is None:
+                    return None
+                if isinstance(t, list):          # per-chunk stacks: no copy
+                    return t[i]
+                return jax.tree_util.tree_map(
+                    lambda x: x[i * per:(i + 1) * per], t)
+
+            ys = []
+            for i in range(chunks):
+                joint, y = stack_remat(nn.scan(
+                    SingleBlock,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast, nn.broadcast, kd_axis,
+                             nn.broadcast),
+                    length=per,
+                ))(cfg, kd_quant, name=f"single_blocks_{i}")(
+                    joint, temb, rope, chunk_xs(kd_single, i),
+                    kd_temperature)
+                ys.append(y)
+            single_attns = ys                    # list of per-chunk ys
+        else:
+            joint, single_attns = stack_remat(nn.scan(
+                SingleBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, kd_axis, nn.broadcast),
+                length=cfg.num_single_layers,
+            ))(cfg, kd_quant, name="single_blocks")(joint, temb, rope,
+                                                    kd_single,
+                                                    kd_temperature)
 
         hidden = joint[:, encoder.shape[1]:, :]
 
@@ -344,17 +426,50 @@ class FluxTransformer2D(nn.Module):
                        "proj_out")(hidden)
 
         if kd_targets is not None:
-            # inline KD: ys were per-layer scalars
-            kl_total = (jnp.sum(img_attns) + jnp.sum(txt_attns)
-                        + jnp.sum(single_attns))
+            # inline KD: ys were per-layer scalars (per-chunk list when
+            # single_scan_chunks > 1)
+            singles = (single_attns if isinstance(single_attns, list)
+                       else [single_attns])
+            kl_total = jnp.sum(img_attns) + jnp.sum(txt_attns)
+            for y in singles:
+                kl_total = kl_total + jnp.sum(y)
             return output, kl_total
         if return_attn_outputs:
             # Match the reference KD stacks' (B, L, S, D) layout
-            # (train_minicpm.py:335-337).
+            # (train_minicpm.py:335-337). Quantized ys are (int8, scale)
+            # pairs — swap both leaves. A chunked singles scan yields a
+            # LIST of per-chunk stacks, kept unconcatenated so a chunked
+            # student consumes them copy-free (see kd_targets above).
+            if aux_layout == "scan":
+                def swap(t):
+                    return t
+            else:
+                def swap(t):
+                    return jax.tree_util.tree_map(
+                        lambda x: jnp.swapaxes(x, 0, 1), t)
             aux = {
-                "double_img": jnp.swapaxes(img_attns, 0, 1),
-                "double_txt": jnp.swapaxes(txt_attns, 0, 1),
-                "single": jnp.swapaxes(single_attns, 0, 1),
+                "double_img": swap(img_attns),
+                "double_txt": swap(txt_attns),
+                "single": ([swap(y) for y in single_attns]
+                           if isinstance(single_attns, list)
+                           else swap(single_attns)),
             }
             return output, aux
         return output
+
+
+def chunk_single_scan_params(params: dict, chunks: int) -> dict:
+    """Split the flat (38, ...) single_blocks param stack into the
+    per-chunk single_blocks_{i} stacks used when cfg.single_scan_chunks > 1
+    (checkpoints are stored flat). Returns a new tree; chunks=1 no-ops."""
+    if chunks <= 1:
+        return params
+    out = dict(params)
+    out["params"] = dict(params["params"])
+    sub = out["params"].pop("single_blocks")
+    length = jax.tree_util.tree_leaves(sub)[0].shape[0]
+    per = length // chunks
+    for i in range(chunks):
+        out["params"][f"single_blocks_{i}"] = jax.tree_util.tree_map(
+            lambda x, i=i: x[i * per:(i + 1) * per], sub)
+    return out

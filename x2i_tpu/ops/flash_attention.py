@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 # Full-KV-in-VMEM design limit (bytes for K+V+score rows, see module doc).
 MAX_KV_SEQ = 8192
+# exp2 trick: the VPU computes exp(x) as exp2(x * log2 e); folding log2 e
+# into the softmax scale removes a full (BQ, Skv) multiply per exponential.
+# All in-kernel logsumexp values are therefore in BASE-2 units ("lse2").
+LOG2_E = math.log2(math.e)
 
 
 def _logits(q, k, scale):
@@ -60,18 +64,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     k = k_ref[0, 0]                                      # (Skv, D)
     v = v_ref[0, 0]                                      # (Skv, D)
 
-    s = _logits(q, k, scale)                             # (BQ, Skv) f32
+    s = _logits(q, k, scale * LOG2_E)                    # (BQ, Skv) f32·lg e
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
                      pl.program_id(2) * block_q, 0)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v,
                 preferred_element_type=jnp.float32) / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0, 0] = m + jnp.log(l)                   # (BQ, 1)
+        lse_ref[0, 0] = m + jnp.log2(l)                  # (BQ, 1), base-2
 
 
 def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
@@ -159,14 +163,14 @@ def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     q = q_ref[0, 0]                                      # (BQ, D)
     k = k_ref[0, 0]                                      # (BK, D)
     v = v_ref[0, 0]
-    s = _logits(q, k, scale)                             # (BQ, BK) f32
+    s = _logits(q, k, scale * LOG2_E)                    # (BQ, BK) f32·lg e
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
                      pl.program_id(2) * block_q, j * block_k)
 
     m_prev = m_ref[:]                                    # (BQ, 1)
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -176,7 +180,7 @@ def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _():
         o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0, 0] = m_ref[:] + jnp.log(l_ref[:])   # (BQ, 1)
+            lse_ref[0, 0] = m_ref[:] + jnp.log2(l_ref[:])  # (BQ, 1), base-2
 
 
 def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
@@ -260,13 +264,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)               # (BQ, D)
-    lse = lse_ref[0, 0]                                 # (BQ, 1)
+    lse = lse_ref[0, 0]                                 # (BQ, 1), base-2
     delta = delta_ref[0, 0]                             # (BQ, 1)
 
-    s = _logits(q, k, scale)
+    s = _logits(q, k, scale * LOG2_E)
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
                      pl.program_id(2) * block_q, 0)
-    p = jnp.exp(s - lse)                                # (BQ, Skv)
+    p = jnp.exp2(s - lse)                               # (BQ, Skv)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (BQ, Skv)
@@ -287,12 +291,12 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     for g in range(group):                              # static unroll
         q = q_ref[0, 0, g]                              # (Sq, D)
         do = do_ref[0, 0, g].astype(jnp.float32)        # (Sq, D)
-        lse = lse_ref[0, 0, g]                          # (Sq, 1)
+        lse = lse_ref[0, 0, g]                          # (Sq, 1), base-2
         delta = delta_ref[0, 0, g]                      # (Sq, 1)
-        s = _logits(q, k, scale)                        # (Sq, BK)
+        s = _logits(q, k, scale * LOG2_E)               # (Sq, BK)
         s = _apply_masks(s, None if mask_ref is None else mask_ref[0],
                          causal, 0, col0)
-        p = jnp.exp(s - lse)                            # (Sq, BK)
+        p = jnp.exp2(s - lse)                           # (Sq, BK)
         dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (BK, D)
@@ -313,6 +317,11 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
     block_q = min(block_q, sq)
+    # dkv VMEM budget: the kernel holds 4 f32 (group*Sq, BK) score-sized
+    # intermediates plus double-buffered full-Sq q/do rows; at Sq >= 4k a
+    # 256-wide kv block overflows the ~16 MB scoped VMEM.
+    if group * sq >= 4096:
+        block_k = min(block_k, 128)
     block_k = min(block_k, skv)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),

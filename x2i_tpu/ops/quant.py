@@ -8,8 +8,10 @@ Dense kernels as int8 with per-output-channel f32 scales (11.9 GB) and
 dequantize just-in-time inside the layer scan — XLA keeps only the current
 block's bf16 weights live, so peak HBM = int8 params + one block + acts.
 
-Matmul compute stays bf16 on the MXU (weight-only quantization is
-near-lossless for DiTs; activation quant is a later optimization).
+Two modes: "w8" keeps matmul compute in bf16 (memory win only,
+near-lossless); "w8a8" also quantizes activations per token and runs the
+int8 x int8 MXU path (2x bf16 rate on v5e), with a straight-through
+backward so frozen quantized stacks stay differentiable w.r.t. inputs.
 """
 
 from __future__ import annotations
@@ -20,6 +22,54 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.custom_vjp
+def w8a8_matmul(x, qkernel, scale):
+    """int8 x int8 -> int32 MXU matmul with dynamic per-token activation
+    scales. x (..., in) float; qkernel (in, out) int8; scale (out,) f32.
+
+    Differentiable via a straight-through estimator: the backward pass
+    computes dx against the dequantized kernel (exact for the
+    weight-quantized matmul, ignoring the activation rounding), so the
+    frozen-DiT distillation step can run the 2x int8 MXU rate forward.
+    qkernel/scale receive zero cotangents — layers quantized this way are
+    frozen by construction (the trainable proj/control nets stay bf16).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qkernel, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * a_scale * scale.astype(jnp.float32)
+
+
+def _w8a8_fwd(x, qkernel, scale):
+    # zero-size sentinel carries x's dtype (dtypes aren't valid residuals)
+    return (w8a8_matmul(x, qkernel, scale),
+            (jnp.zeros((0,), x.dtype), qkernel, scale))
+
+
+def _w8a8_bwd(res, dy):
+    x_sentinel, qkernel, scale = res
+    x_dtype = x_sentinel.dtype
+    # dx = dy @ W^T. The W^T relayout must stay INSIDE the DiT's scan loop:
+    # it only depends on loop-invariant weights, so XLA hoists it and
+    # materializes every layer's transposed int8 stack (+2 GB at full
+    # size). The optimization barrier pins the per-block dequant+transpose
+    # to the iteration (an ephemeral ~19 MB bf16 buffer, ~25 us/weight).
+    w = qkernel.astype(x_dtype) * scale.astype(x_dtype)      # (in, out)
+    wt = jax.lax.optimization_barrier(jnp.swapaxes(w, 0, 1))  # (out, in)
+    dx = jax.lax.dot_general(
+        dy.astype(x_dtype), wt, (((dy.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_dtype)
+    return (dx, np.zeros(qkernel.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+w8a8_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
 
 
 class QuantDense(nn.Module):
@@ -50,17 +100,7 @@ class QuantDense(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
         if self.mode == "w8a8":
-            xf = x.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-            a_scale = jnp.maximum(amax, 1e-6) / 127.0
-            xq = jnp.clip(jnp.round(xf / a_scale), -127, 127
-                          ).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, qkernel,
-                (((xq.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            y = (acc.astype(jnp.float32) * a_scale
-                 * scale.astype(jnp.float32)).astype(self.dtype)
+            y = w8a8_matmul(x, qkernel, scale).astype(self.dtype)
         else:
             w = qkernel.astype(self.dtype) * scale.astype(self.dtype)
             y = jnp.dot(x.astype(self.dtype), w)

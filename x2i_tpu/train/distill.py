@@ -46,15 +46,38 @@ from x2i_tpu.ops.kd import normalize_logit  # noqa: F401,E402
 
 def kd_loss(teacher_aux: Dict[str, jnp.ndarray],
             student_aux: Dict[str, jnp.ndarray],
-            tau: float = 3.0) -> jnp.ndarray:
-    """Sum of per-block KL over the three KD stacks (B, L, S, D)."""
+            tau: float = 3.0, layout: str = "reference") -> jnp.ndarray:
+    """Sum of per-block KL over the three KD stacks.
+
+    layout: "reference" = (B, L, S, D) stacks (train_minicpm.py:335-337);
+    "scan" = the scan-native (L, B, S, D) layout. A stack may be a
+    per-chunk LIST (single_scan_chunks>1 models) — chunk lists on both
+    sides must align; a lone list is summed against the matching slices of
+    the flat side."""
+    axis = 0 if layout == "scan" else 1
+
+    def stacks(t, n):
+        if isinstance(t, list):
+            return t
+        if n == 1:
+            return [t]
+        length = jax.tree_util.tree_leaves(t)[0].shape[axis]
+        per = length // n
+        return [jax.tree_util.tree_map(
+            lambda x: jax.lax.slice_in_dim(x, i * per, (i + 1) * per,
+                                           axis=axis), t)
+            for i in range(n)]
+
     loss = 0.0
     for key in ("double_img", "double_txt", "single"):
         t, s = teacher_aux[key], student_aux[key]
-        terms = jax.vmap(
-            lambda ti, si: _kl_term(ti, si, tau),
-            in_axes=(1, 1))(t, s)                      # (L,)
-        loss = loss + jnp.sum(terms)
+        n = max(len(t) if isinstance(t, list) else 1,
+                len(s) if isinstance(s, list) else 1)
+        for tc, sc in zip(stacks(t, n), stacks(s, n)):
+            terms = jax.vmap(
+                lambda ti, si: _kl_term(ti, si, tau),
+                in_axes=(axis, axis))(tc, sc)          # (L,)
+            loss = loss + jnp.sum(terms)
     return loss
 
 
@@ -90,10 +113,20 @@ def make_teacher_step(
         student_states_fn: Callable,   # (batch) -> (B, C, S, H)
         flux_cfg: FluxConfig,
         dcfg: DistillConfig,
-        guidance_scale: Optional[float] = 3.5):
+        guidance_scale: Optional[float] = 3.5,
+        emit_mllm_states: bool = True,
+        emit_latents: bool = True):
     """The infer-pool body (train_minicpm.py:663-825): sample the 1-step
     sigma=1 latents, run the teacher FLUX for KD stacks, export the MLLM
-    hidden states. Returns teacher_fn(flux_params, batch, rng) -> dict."""
+    hidden states. Returns teacher_fn(flux_params, batch, rng) -> dict.
+
+    emit_mllm_states=False drops the MLLM states from the output for the
+    colocated topology where the student reads them from the batch.
+    emit_latents=False drops the seeded noise latents/timestep — the
+    student regenerates them bit-exactly from the shared rng
+    (make_student_step regenerate_latents=True), which also removes a
+    transfer in the disaggregated topology (the reference ships them over
+    NCCL, train_minicpm.py:812-824)."""
     h, w = dcfg.latent_height, dcfg.latent_width
     img_ids = prepare_latent_image_ids(h, w)
     txt_ids = jnp.zeros((dcfg.text_seq_len, 3), jnp.float32)
@@ -109,12 +142,21 @@ def make_teacher_step(
                     else jnp.full((batch_size,), guidance_scale,
                                   jnp.float32))
         t5_seq, clip_pooled = teacher_text_fn(batch)
+        # kd_stacks_int8 quantizes inside the scan, so the bf16 stacks
+        # never materialize (ops/kd.quantize_kd_stacks docstring); the
+        # scan-native aux layout skips the (B, L) transpose copies on both
+        # ends of the teacher->student hand-off.
         _, teacher_aux = flux_apply(
             flux_params, latents, t5_seq, clip_pooled, timestep, img_ids,
-            txt_ids, guidance, return_attn_outputs=True)
-        mllm_states = student_states_fn(batch)
-        return {"teacher_aux": teacher_aux, "latents": latents,
-                "mllm_states": mllm_states, "timestep": timestep}
+            txt_ids, guidance, return_attn_outputs=True,
+            quantize_attn_outputs=dcfg.kd_stacks_int8, aux_layout="scan")
+        out = {"teacher_aux": teacher_aux}
+        if emit_latents:
+            out["latents"] = latents
+            out["timestep"] = timestep
+        if emit_mllm_states:
+            out["mllm_states"] = student_states_fn(batch)
+        return out
 
     return teacher_fn
 
@@ -125,21 +167,44 @@ def make_student_step(
         optimizer: optax.GradientTransformation,
         flux_cfg: FluxConfig,
         dcfg: DistillConfig,
-        guidance_scale: Optional[float] = 3.5):
+        guidance_scale: Optional[float] = 3.5,
+        student_states_fn: Optional[Callable] = None,
+        regenerate_latents: bool = False):
     """The train-pool body (train_minicpm.py:372-660): proj -> student FLUX
     -> KD loss -> AdamW update. Returns
-    student_fn(state, flux_params, batch, teacher_out, rng)."""
+    student_fn(state, flux_params, batch, teacher_out, rng).
+
+    student_states_fn: when given (colocated topology), the MLLM hidden
+    states are read from the batch instead of riding through teacher_out —
+    avoids carrying the ~100 MB/sample stack twice. In the disaggregated
+    topology the states arrive from the infer pool inside teacher_out.
+    regenerate_latents: recompute the seeded noise latents from the shared
+    rng instead of reading teacher_out (pairs with the teacher's
+    emit_latents=False)."""
     h, w = dcfg.latent_height, dcfg.latent_width
     img_ids = prepare_latent_image_ids(h, w)
     txt_ids = jnp.zeros((dcfg.text_seq_len, 3), jnp.float32)
+    num_lat_ch = flux_cfg.in_channels // 4
 
     def student_fn(state: TrainState, flux_params, batch, teacher_out,
                    rng):
-        del batch, rng
-        latents = teacher_out["latents"]
-        timestep = teacher_out["timestep"]
+        if regenerate_latents:
+            batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            latents = jax.random.normal(
+                rng, (batch_size, num_lat_ch, h, w), jnp.float32)
+            latents = pack_latents(latents).astype(flux_cfg.dtype)
+            timestep = jnp.ones((batch_size,), jnp.float32)
+        else:
+            latents = teacher_out["latents"]
+            timestep = teacher_out["timestep"]
+        del rng
         teacher_aux = jax.lax.stop_gradient(teacher_out["teacher_aux"])
-        mllm_states = jax.lax.stop_gradient(teacher_out["mllm_states"])
+        if student_states_fn is not None:
+            mllm_states = jax.lax.stop_gradient(student_states_fn(batch))
+        else:
+            mllm_states = jax.lax.stop_gradient(
+                teacher_out["mllm_states"])
+        del batch
         batch_size = latents.shape[0]
         guidance = (None if not flux_cfg.guidance_embeds
                     else jnp.full((batch_size,), guidance_scale,
@@ -152,13 +217,15 @@ def make_student_step(
                     flux_params, latents, seq.astype(flux_cfg.dtype),
                     pooled.astype(flux_cfg.dtype), timestep, img_ids,
                     txt_ids, guidance, kd_targets=teacher_aux,
-                    kd_temperature=dcfg.kd_temperature)
+                    kd_temperature=dcfg.kd_temperature,
+                    aux_layout="scan")
                 return kl
             _, student_aux = flux_apply(
                 flux_params, latents, seq.astype(flux_cfg.dtype),
                 pooled.astype(flux_cfg.dtype), timestep, img_ids, txt_ids,
-                guidance, return_attn_outputs=True)
-            return kd_loss(teacher_aux, student_aux, dcfg.kd_temperature)
+                guidance, return_attn_outputs=True, aux_layout="scan")
+            return kd_loss(teacher_aux, student_aux, dcfg.kd_temperature,
+                           layout="scan")
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         # DP mean happens automatically through sharded-batch loss; grads
