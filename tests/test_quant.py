@@ -140,3 +140,20 @@ def test_w8a8_ste_gradient(rng):
     gp = jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2),
                   allow_int=True)(params)
     assert np.allclose(np.asarray(gp["params"]["scale"]), 0.0)
+
+
+def test_w8_gradient_matches_dense(rng):
+    """w8 custom VJP (barrier-pinned W^T) gives the exact dense-dequant
+    gradient."""
+    from x2i_tpu.ops.quant import QuantDense, quantize_kernel
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    params = {"params": {"qkernel": q, "scale": s,
+                         "bias": np.zeros(16, np.float32)}}
+    layer = QuantDense(16, dtype=jnp.float32, param_dtype=jnp.float32,
+                       mode="w8")
+    dx = jax.grad(lambda x: jnp.sum(layer.apply(params, x) ** 2))(x)
+    wq = q.astype(np.float32) * s
+    want = 2.0 * (np.asarray(x) @ wq) @ wq.T
+    np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-5, atol=1e-5)

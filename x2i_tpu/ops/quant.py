@@ -58,9 +58,11 @@ def _w8a8_bwd(res, dy):
     # dx = dy @ W^T. The W^T relayout must stay INSIDE the DiT's scan loop:
     # it only depends on loop-invariant weights, so XLA hoists it and
     # materializes every layer's transposed int8 stack (+2 GB at full
-    # size). The optimization barrier pins the per-block dequant+transpose
-    # to the iteration (an ephemeral ~19 MB bf16 buffer, ~25 us/weight).
-    w = qkernel.astype(x_dtype) * scale.astype(x_dtype)      # (in, out)
+    # size). Barrier the int8 kernel FIRST — guarding only the bf16
+    # transpose still lets XLA hoist an int8 relayout feeding it — then
+    # pin the dequant+transpose too (ephemeral ~19 MB, ~25 us/weight).
+    qk = jax.lax.optimization_barrier(qkernel)
+    w = qk.astype(x_dtype) * scale.astype(x_dtype)           # (in, out)
     wt = jax.lax.optimization_barrier(jnp.swapaxes(w, 0, 1))  # (out, in)
     dx = jax.lax.dot_general(
         dy.astype(x_dtype), wt, (((dy.ndim - 1,), (0,)), ((), ())),
@@ -70,6 +72,26 @@ def _w8a8_bwd(res, dy):
 
 
 w8a8_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
+@jax.custom_vjp
+def w8_matmul(x, qkernel, scale):
+    """Weight-only int8 matmul: dequantize to x.dtype, bf16 MXU compute.
+
+    Same backward treatment as w8a8_matmul: dx against the dequantized
+    kernel with the W^T relayout pinned inside the loop (plain autodiff
+    would let XLA hoist transposed copies of every layer's weight stack),
+    zero cotangents for the frozen qkernel/scale."""
+    w = qkernel.astype(x.dtype) * scale.astype(x.dtype)
+    return jnp.dot(x, w)
+
+
+def _w8_fwd(x, qkernel, scale):
+    return (w8_matmul(x, qkernel, scale),
+            (jnp.zeros((0,), x.dtype), qkernel, scale))
+
+
+w8_matmul.defvjp(_w8_fwd, _w8a8_bwd)
 
 
 class QuantDense(nn.Module):
@@ -102,8 +124,7 @@ class QuantDense(nn.Module):
         if self.mode == "w8a8":
             y = w8a8_matmul(x, qkernel, scale).astype(self.dtype)
         else:
-            w = qkernel.astype(self.dtype) * scale.astype(self.dtype)
-            y = jnp.dot(x.astype(self.dtype), w)
+            y = w8_matmul(x.astype(self.dtype), qkernel, scale)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
