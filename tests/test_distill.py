@@ -249,3 +249,25 @@ def test_int8_kd_stacks_close_to_dense(rng):
                                       np.asarray(qaux[key][0]))
         np.testing.assert_allclose(np.asarray(qaux_scan[key][1]),
                                    np.asarray(qaux[key][1]), rtol=1e-6)
+
+
+def test_regenerated_latents_match_shipped(rng):
+    """slim_handoff split topology (teacher ships ONLY the KD stacks; the
+    student regenerates the seeded latents from the shared rng and reads
+    MLLM states from the batch) reproduces the default split loss
+    bit-for-bit."""
+    from x2i_tpu.train.harness import build_tiny_distill
+
+    key = jax.random.key(7)
+    (t_fn, s_fn), state, fp, batch = build_tiny_distill(
+        batch_size=2, split=True)
+    t_out = jax.jit(t_fn)(fp, batch, key)
+    _, m_ref = jax.jit(s_fn)(state, fp, batch, t_out, key)
+
+    (t2, s2), state2, fp2, batch2 = build_tiny_distill(
+        batch_size=2, split=True, slim_handoff=True)
+    t_out2 = jax.jit(t2)(fp2, batch2, key)
+    assert set(t_out2) == {"teacher_aux"}          # slim hand-off
+    _, m_slim = jax.jit(s2)(state2, fp2, batch2, t_out2, key)
+    np.testing.assert_allclose(float(m_slim["loss"]),
+                               float(m_ref["loss"]), rtol=1e-6)

@@ -24,10 +24,13 @@ from x2i_tpu.train.distill import (TrainState, make_distill_step,
 
 
 def build_tiny_distill(batch_size: int = 8, remat: bool = False,
-                       split: bool = False, use_8bit_adam: bool = False):
+                       split: bool = False, use_8bit_adam: bool = False,
+                       slim_handoff: bool = False):
     """Returns (step_fn, state, flux_params, batch); with split=True the
     first element is (teacher_fn, student_fn) for the disaggregated-pool
-    topology instead of the colocated step."""
+    topology instead of the colocated step. slim_handoff (split only)
+    ships ONLY the KD stacks: the student regenerates the seeded latents
+    from the rng and reads the MLLM states from the batch."""
     flux_cfg = tiny_flux_config(guidance_embeds=True, remat=remat)
     lm_cfg = tiny_qwen2_config()
     t5_cfg = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64,
@@ -94,10 +97,14 @@ def build_tiny_distill(batch_size: int = 8, remat: bool = False,
     state = TrainState(proj_params, optimizer.init(proj_params),
                        jnp.zeros((), jnp.int32))
     if split:
-        teacher_fn = make_teacher_step(flux.apply, teacher_text_fn,
-                                       student_states_fn, flux_cfg, dcfg)
-        student_fn = make_student_step(flux.apply, proj.apply, optimizer,
-                                       flux_cfg, dcfg)
+        teacher_fn = make_teacher_step(
+            flux.apply, teacher_text_fn, student_states_fn, flux_cfg, dcfg,
+            emit_mllm_states=not slim_handoff,
+            emit_latents=not slim_handoff)
+        student_fn = make_student_step(
+            flux.apply, proj.apply, optimizer, flux_cfg, dcfg,
+            student_states_fn=student_states_fn if slim_handoff else None,
+            regenerate_latents=slim_handoff)
         return (teacher_fn, student_fn), state, flux_params, batch
     step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
                                 student_states_fn, optimizer, flux_cfg, dcfg)
