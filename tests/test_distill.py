@@ -271,3 +271,28 @@ def test_regenerated_latents_match_shipped(rng):
     _, m_slim = jax.jit(s2)(state2, fp2, batch2, t_out2, key)
     np.testing.assert_allclose(float(m_slim["loss"]),
                                float(m_ref["loss"]), rtol=1e-6)
+
+
+def test_single_chip_split_compiler(rng):
+    """compile_single_chip_distill (AOT teacher/student executables with a
+    layout-pinned hand-off) reproduces the colocated-step loss on tiny
+    configs."""
+    from x2i_tpu.train.harness import build_tiny_distill
+    from x2i_tpu.train.single_chip import compile_single_chip_distill
+
+    key = jax.random.key(11)
+    step_fn, state, fp, batch = build_tiny_distill(batch_size=2)
+    parts = build_tiny_distill.last_parts
+    _, m_ref = jax.jit(step_fn)(state, fp, batch, key)
+
+    run_step, jteacher, jstudent = compile_single_chip_distill(
+        parts["flux_apply"], parts["proj_apply"],
+        parts["teacher_text_fn"], parts["student_states_fn"],
+        parts["optimizer"], parts["flux_cfg"], parts["dcfg"],
+        state, fp, batch, key, donate_state=False)
+    state2, m_split = run_step(state, fp, batch, key)
+    np.testing.assert_allclose(float(m_split["loss"]),
+                               float(m_ref["loss"]), rtol=1e-5)
+    # a second step consumes the first step's state carry (layout path)
+    _, m2 = run_step(state2, fp, batch, key)
+    assert np.isfinite(float(m2["loss"]))

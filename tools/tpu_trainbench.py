@@ -83,49 +83,16 @@ def main():
     key = jax.random.key(1)
     if split:
         # Two sequential programs on one chip (the reference's
-        # infer-pool/train-pool split, minus the NCCL hop): teacher fwd
-        # emits the KD stacks, the student program consumes them. Peak HBM
-        # liveness is far lower than the single fused program.
-        from x2i_tpu.train.distill import (make_student_step,
-                                           make_teacher_step)
-        teacher_fn = make_teacher_step(
-            flux.apply, lambda b: (b["t5_seq"], b["clip_pooled"]),
-            lambda b: b["mllm_states"], flux_cfg, dcfg,
-            emit_mllm_states=False, emit_latents=False)
-        student_fn = make_student_step(
-            flux.apply, proj.apply, optimizer, flux_cfg, dcfg,
-            student_states_fn=lambda b: b["mllm_states"],
-            regenerate_latents=True)
+        # infer-pool/train-pool split, minus the NCCL hop): see
+        # x2i_tpu/train/single_chip.py.
+        from x2i_tpu.train.single_chip import compile_single_chip_distill
         t0 = time.perf_counter()
-        print("compiling teacher...", flush=True)
-        # Pin the teacher's outputs to default layouts so the AOT student
-        # (lowered from specs, which assume default layouts) consumes them
-        # directly — otherwise the hand-off needs +0.9 GB relayout copies
-        # at runtime (the teacher pays a small internal relayout instead).
-        from jax.experimental.layout import Format, Layout
-        dev = jax.devices()[0]
-        single = jax.sharding.SingleDeviceSharding(dev)
-        tout_shape = jax.eval_shape(teacher_fn, flux_params, batch, key)
-        out_fmts = jax.tree_util.tree_map(
-            lambda s: Format(Layout(tuple(range(s.ndim))), single),
-            tout_shape)
-        jteacher = (jax.jit(teacher_fn, out_shardings=out_fmts)
-                    .lower(flux_params, batch, key).compile())
-        print("compiling student...", flush=True)
-        # Constrain the student's teacher_out input formats to the same
-        # default layouts the teacher was pinned to — otherwise XLA picks
-        # custom input layouts, the donation becomes unusable, and the
-        # un-freeable originals push runtime HBM over the edge.
-        tout_spec = jax.tree_util.tree_map(
-            lambda s: jax.ShapeDtypeStruct(
-                s.shape, s.dtype,
-                sharding=Format(Layout(tuple(range(s.ndim))), single)),
-            tout_shape)
-        # NOTE: lower from specs — holding a concrete teacher_out across
-        # the run loop would keep an extra 0.8 GB alive at runtime.
-        jstudent = (jax.jit(student_fn, donate_argnums=(0, 3))
-                    .lower(state, flux_params, batch, tout_spec, key)
-                    .compile())
+        print("compiling teacher+student...", flush=True)
+        step, jteacher, jstudent = compile_single_chip_distill(
+            flux.apply, proj.apply,
+            lambda b: (b["t5_seq"], b["clip_pooled"]),
+            lambda b: b["mllm_states"], optimizer, flux_cfg, dcfg,
+            state, flux_params, batch, key)
         print(f"compile: {time.perf_counter()-t0:.0f}s", flush=True)
         for name, ex in (("teacher", jteacher), ("student", jstudent)):
             mem = ex.memory_analysis()
@@ -134,15 +101,8 @@ def main():
                       f"out={mem.output_size_in_bytes/2**30:.2f}GiB",
                       flush=True)
 
-        # The state carry may come back from the student in a different
-        # layout than it expects on input — relayout (tiny; no-op when
-        # they already match).
-        state_fmt = jstudent.input_formats[0][0]
-
         def run_step(state, key):
-            teacher_out = jteacher(flux_params, batch, key)
-            state = jax.device_put(state, state_fmt)
-            return jstudent(state, flux_params, batch, teacher_out, key)
+            return step(state, flux_params, batch, key)
     else:
         step_fn = make_distill_step(
             flux.apply, proj.apply,

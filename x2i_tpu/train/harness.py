@@ -96,6 +96,12 @@ def build_tiny_distill(batch_size: int = 8, remat: bool = False,
     optimizer = make_optimizer(dcfg)
     state = TrainState(proj_params, optimizer.init(proj_params),
                        jnp.zeros((), jnp.int32))
+    build_tiny_distill.last_parts = {
+        "flux_apply": flux.apply, "proj_apply": proj.apply,
+        "teacher_text_fn": teacher_text_fn,
+        "student_states_fn": student_states_fn, "optimizer": optimizer,
+        "flux_cfg": flux_cfg, "dcfg": dcfg,
+    }
     if split:
         teacher_fn = make_teacher_step(
             flux.apply, teacher_text_fn, student_states_fn, flux_cfg, dcfg,
