@@ -68,8 +68,10 @@ def main():
     quant = os.environ.get("X2I_BENCH_QUANT", "w8a8")
     batch = int(os.environ.get("X2I_BENCH_BATCH", "1"))
     px = int(os.environ.get("X2I_BENCH_PX", "1024"))
+    use_pallas = os.environ.get("X2I_BENCH_ATTN", "pallas") != "xla"
 
-    cfg = FluxConfig(quantized=quant, guidance_embeds=False)
+    cfg = FluxConfig(quantized=quant, guidance_embeds=False,
+                     use_pallas_attention=use_pallas)
     model = FluxTransformer2D(cfg)
     grid, s_txt = px // 8, 512                  # 1024^2 -> 128x128 latents
     s_img = (grid // 2) ** 2                    # 4096 image tokens
