@@ -16,16 +16,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# persistent compile cache: the suite is compile-dominated (~100 tiny-model
-# jit programs); caching across runs cuts wall time substantially
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_enable_xla_caches",
-                      "all")
-except Exception:  # older jax: cache flags unavailable
-    pass
+# persistent compile cache: cuts suite wall time ~2x BUT the XLA:CPU AOT
+# loader on this host warns about machine-feature mismatches and cached
+# executables intermittently SEGFAULT on deserialize (observed in
+# jax compilation_cache get/put). Off by default; opt in with
+# X2I_TEST_CACHE=1 when iterating locally.
+if os.environ.get("X2I_TEST_CACHE") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # older jax: cache flags unavailable
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -34,3 +37,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The XLA:CPU backend has segfaulted (backend_compile_and_load) late
+    in long suite runs; dropping compiled executables between modules
+    keeps the in-process JIT footprint bounded."""
+    yield
+    jax.clear_caches()
+    import gc
+    gc.collect()

@@ -109,3 +109,29 @@ def test_decode_matches_prefill(hf_and_jax, rng):
         np.testing.assert_allclose(
             np.asarray(h[:, :, 0]), np.asarray(ref_hidden[:, :, idx]),
             atol=2e-5)
+
+
+def test_prefill_chunk_matches_full(hf_and_jax, rng):
+    """Chunked prefill at a cache offset (streaming sessions) reproduces
+    the one-shot cached prefill hidden states exactly."""
+    hf, model, params, cfg = hf_and_jax
+    B, S, MAX, SPLIT = 1, 10, 16, 4
+    ids = rng.integers(0, cfg.vocab_size, (B, S))
+
+    ref_hidden, _ = model.apply(params, jnp.asarray(ids))
+
+    cache = model.apply(params, B, MAX, method=Qwen2LM.init_cache)
+    emb = lambda sl: model.apply(params, jnp.asarray(ids[:, sl]),
+                                 method=Qwen2LM.embed)
+    h0, _, cache = model.apply(
+        params, emb(slice(0, SPLIT)), cache, 0,
+        jnp.ones((B, SPLIT), jnp.bool_), method=Qwen2LM.prefill_chunk)
+    h1, _, cache = model.apply(
+        params, emb(slice(SPLIT, S)), cache, SPLIT,
+        jnp.ones((B, S - SPLIT), jnp.bool_), method=Qwen2LM.prefill_chunk)
+    np.testing.assert_allclose(np.asarray(h0),
+                               np.asarray(ref_hidden[:, :, :SPLIT]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1),
+                               np.asarray(ref_hidden[:, :, SPLIT:S]),
+                               atol=2e-5)

@@ -36,6 +36,12 @@ def __getattr__(name):
     if name == "MultiTurnSession":
         from x2i_tpu.multiturn import MultiTurnSession
         return MultiTurnSession
+    if name == "StreamingSession":
+        from x2i_tpu.streaming import StreamingSession
+        return StreamingSession
+    if name == "TTSPipeline":
+        from x2i_tpu.streaming import TTSPipeline
+        return TTSPipeline
     if name == "BatchingServer":
         from x2i_tpu.serve import BatchingServer
         return BatchingServer

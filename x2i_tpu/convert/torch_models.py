@@ -494,3 +494,121 @@ def flux_params_from_diffusers(sd: Mapping, cfg: FluxConfig) -> Dict:
             "in_layer": lin("time_text_embed.guidance_embedder.linear_1"),
             "out_layer": lin("time_text_embed.guidance_embedder.linear_2")}
     return params
+
+
+def _conv1d(sd: Mapping, name: str) -> np.ndarray:
+    """torch Conv1d weight (out, in/groups, k) -> flax (k, in/groups, out)."""
+    return _np(sd[name]).transpose(2, 1, 0)
+
+
+def _convnext_block(sd: Mapping, prefix: str) -> Dict:
+    """Reference ConvNeXtBlock (modeling_minicpmo.py:2208-2259)."""
+    return {
+        "dwconv": {"kernel": _conv1d(sd, prefix + "dwconv.weight"),
+                   "bias": _np(sd[prefix + "dwconv.bias"])},
+        "norm": {"scale": _np(sd[prefix + "norm.weight"]),
+                 "bias": _np(sd[prefix + "norm.bias"])},
+        "pwconv1": {"kernel": _lin(sd, prefix + "pwconv1.weight"),
+                    "bias": _np(sd[prefix + "pwconv1.bias"])},
+        "pwconv2": {"kernel": _lin(sd, prefix + "pwconv2.weight"),
+                    "bias": _np(sd[prefix + "pwconv2.bias"])},
+        "coef": _np(sd[prefix + "coef"]),
+    }
+
+
+def _dvae_decoder(sd: Mapping, prefix: str, n_layer: int = 12) -> Dict:
+    out = {
+        "conv_in0": {"kernel": _conv1d(sd, prefix + "conv_in.0.weight"),
+                     "bias": _np(sd[prefix + "conv_in.0.bias"])},
+        "conv_in1": {"kernel": _conv1d(sd, prefix + "conv_in.2.weight"),
+                     "bias": _np(sd[prefix + "conv_in.2.bias"])},
+        "conv_out": {"kernel": _conv1d(sd, prefix + "conv_out.weight")},
+    }
+    for i in range(n_layer):
+        out[f"block_{i}"] = _convnext_block(
+            sd, prefix + f"decoder_block.{i}.")
+    return out
+
+
+def dvae_params_from_reference(sd: Mapping, prefix: str = "dvae.") -> Dict:
+    """Reference DVAE state dict (modeling_minicpmo.py:2349-2427) ->
+    x2i_tpu.models.chattts.DVAE params. GFSQ projections come from
+    vector_quantize_pytorch GroupedResidualFSQ (rvqs.{g}.project_in/out)."""
+    p = {
+        "coef": _np(sd[prefix + "coef"]).reshape(-1),
+        "down0": {"kernel": _conv1d(sd, prefix + "downsample_conv.0.weight"),
+                  "bias": _np(sd[prefix + "downsample_conv.0.bias"])},
+        "down1": {"kernel": _conv1d(sd, prefix + "downsample_conv.2.weight"),
+                  "bias": _np(sd[prefix + "downsample_conv.2.bias"])},
+        "encoder": _dvae_decoder(sd, prefix + "encoder."),
+        "decoder": _dvae_decoder(sd, prefix + "decoder."),
+        "out_conv": {"kernel": _conv1d(sd, prefix + "out_conv.weight")},
+        "vq": {},
+    }
+    for g in (0, 1):
+        base = prefix + f"vq_layer.quantizer.rvqs.{g}."
+        p["vq"][f"project_in_{g}"] = {
+            "kernel": _lin(sd, base + "project_in.weight"),
+            "bias": _np(sd[base + "project_in.bias"])}
+        p["vq"][f"project_out_{g}"] = {
+            "kernel": _lin(sd, base + "project_out.weight"),
+            "bias": _np(sd[base + "project_out.bias"])}
+    return p
+
+
+def _weight_norm(sd: Mapping, prefix: str):
+    """torch weight_norm Linear -> (v (in,out), g (out,)). Handles both the
+    parametrizations.* (torch>=2.1) and weight_g/weight_v layouts."""
+    if prefix + "parametrizations.weight.original0" in sd:
+        g = _np(sd[prefix + "parametrizations.weight.original0"])
+        v = _np(sd[prefix + "parametrizations.weight.original1"])
+    else:
+        g = _np(sd[prefix + "weight_g"])
+        v = _np(sd[prefix + "weight_v"])
+    return v.T, g.reshape(-1)
+
+
+def chattts_params_from_reference(sd: Mapping, cfg,
+                                  prefix: str = "tts.") -> Dict:
+    """Reference ConditionalChatTTS state dict
+    (modeling_minicpmo.py:2590-2747) -> ConditionalChatTTS params. The
+    nested DVAE converts separately via
+    dvae_params_from_reference(sd, prefix="tts.dvae.").
+    cfg: x2i_tpu.models.chattts.ChatTTSConfig."""
+    L = cfg.num_hidden_layers
+    lp = prefix + "model.layers.{i}."
+    block = {
+        "input_norm": {"scale": _stack(
+            sd, lp + "input_layernorm.weight", L, transpose=False)},
+        "post_attn_norm": {"scale": _stack(
+            sd, lp + "post_attention_layernorm.weight", L,
+            transpose=False)},
+        "q_proj": {"kernel": _stack(sd, lp + "self_attn.q_proj.weight", L)},
+        "k_proj": {"kernel": _stack(sd, lp + "self_attn.k_proj.weight", L)},
+        "v_proj": {"kernel": _stack(sd, lp + "self_attn.v_proj.weight", L)},
+        "o_proj": {"kernel": _stack(sd, lp + "self_attn.o_proj.weight", L)},
+        "gate_proj": {"kernel": _stack(sd, lp + "mlp.gate_proj.weight", L)},
+        "up_proj": {"kernel": _stack(sd, lp + "mlp.up_proj.weight", L)},
+        "down_proj": {"kernel": _stack(sd, lp + "mlp.down_proj.weight", L)},
+    }
+    params: Dict = {
+        "emb_text": {"embedding": _np(sd[prefix + "emb_text.weight"])},
+        "blocks": {"block": block},
+        "norm": {"scale": _np(sd[prefix + "model.norm.weight"])},
+    }
+    for i in range(cfg.num_vq):
+        params[f"emb_code_{i}"] = {
+            "embedding": _np(sd[prefix + f"emb_code.{i}.weight"])}
+        v, g = _weight_norm(sd, prefix + f"head_code.{i}.")
+        params[f"head_v_{i}"] = v
+        params[f"head_g_{i}"] = g
+    if cfg.use_mlp:
+        params["projector"] = {
+            "linear1": {"kernel": _lin(sd, prefix + "projector.linear1.weight"),
+                        "bias": _np(sd[prefix + "projector.linear1.bias"])},
+            "linear2": {"kernel": _lin(sd, prefix + "projector.linear2.weight"),
+                        "bias": _np(sd[prefix + "projector.linear2.bias"])}}
+    else:
+        params["projector"] = {
+            "kernel": _lin(sd, prefix + "projector.weight")}
+    return params

@@ -6,8 +6,8 @@ resampler -> scatter into LLM embeddings at image_bound spans (:291-406).
 The audio path: whisper encoder -> avg-pool(2) -> projector -> splice at
 audio_bounds (:469-619). Then a single Qwen2 prefill exports all per-layer
 hidden states (generate(..., decode_text=False), :770-826). The TTS stack
-(ConditionalChatTTS/DVAE/vocos, :2208-3185) is not on the image path and is
-intentionally omitted (SURVEY.md §7.2 stage 8).
+(ConditionalChatTTS/DVAE/vocos, :2208-3185) lives in models/chattts.py and
+x2i_tpu/streaming.py (not on the image path).
 
 TPU shape discipline: all bound/index bookkeeping is host-side
 (data/minicpm_vision.py builds flat scatter maps); the model consumes

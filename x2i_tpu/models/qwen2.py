@@ -45,7 +45,7 @@ class Qwen2Block(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, cos, sin, kv_mask, cache, cache_index,
-                 causal=True):
+                 causal=True, causal_offset=0):
         """
         Args:
           hidden: (B, S, H)
@@ -56,6 +56,8 @@ class Qwen2Block(nn.Module):
           cache_index: scalar int32 write offset when cache is not None.
           causal: causal masking; True for prefill (queries at absolute
             positions 0..S-1), False for single-token decode.
+          causal_offset: absolute position of query row 0 (chunked prefill
+            at a nonzero cache offset).
 
         Returns: (new_hidden, updated_cache)
         """
@@ -87,10 +89,9 @@ class Qwen2Block(nn.Module):
                 k_cache, k.astype(k_cache.dtype), cache_index, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(
                 v_cache, v.astype(v_cache.dtype), cache_index, axis=1)
-            # causal=True is correct for prefill-at-offset-0: the kernel
-            # compares absolute q positions to cache key positions.
             attn = attention(q, k_cache, v_cache, kv_mask=kv_mask,
-                             causal=causal, implementation="xla")
+                             causal=causal, implementation="xla",
+                             causal_offset=causal_offset)
             new_cache = (k_cache, v_cache)
 
         attn = dense(cfg.hidden_size, "o_proj", False)(
@@ -113,11 +114,12 @@ class ScannedQwen2Block(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, cos, sin, kv_mask, cache, cache_index,
-                 causal=True):
+                 causal=True, causal_offset=0):
         def body(block, carry, layer_cache):
             hidden = carry
             new_hidden, new_cache = block(hidden, cos, sin, kv_mask,
-                                          layer_cache, cache_index, causal)
+                                          layer_cache, cache_index, causal,
+                                          causal_offset)
             return new_hidden, (new_hidden, new_cache)
 
         scan = nn.scan(
@@ -228,6 +230,42 @@ class Qwen2LM(nn.Module):
         shape = (cfg.num_hidden_layers, batch, max_len,
                  cfg.num_key_value_heads, cfg.head_dim)
         return (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+
+    def prefill_chunk(self, inputs_embeds, cache, cache_index,
+                      chunk_mask):
+        """Prefill a chunk at an arbitrary cache offset (streaming
+        sessions, reference streaming_prefill
+        modeling_minicpmo.py:1051-1160).
+
+        inputs_embeds: (B, S) chunk; cache_index: scalar write offset;
+        chunk_mask: (B, S) valid positions within the chunk (right-padded).
+        Queries use absolute positions cache_index + i and may attend all
+        previously cached tokens. Returns (all_hidden, logits, cache)."""
+        cfg = self.cfg
+        b, s, _ = inputs_embeds.shape
+        chunk_mask = chunk_mask.astype(jnp.bool_)
+        position_ids = (cache_index
+                        + jnp.clip(jnp.cumsum(
+                            chunk_mask.astype(jnp.int32), axis=-1) - 1,
+                            0, None))
+        cos, sin = rope_freqs_half(position_ids, cfg.head_dim,
+                                   cfg.rope_theta)
+        max_len = cache[0].shape[2]
+        pos = jnp.arange(max_len)[None, :]
+        rel = pos - cache_index
+        in_chunk = (rel >= 0) & (rel < s)
+        chunk_at_pos = jnp.take(chunk_mask, jnp.clip(rel[0], 0, s - 1),
+                                axis=1)
+        kv_mask = (pos < cache_index) | (in_chunk & chunk_at_pos)
+        final, layer_states, new_cache = self.blocks(
+            inputs_embeds, cos, sin, kv_mask, cache, cache_index,
+            causal=True, causal_offset=cache_index)
+        normed = self.final_norm(final)
+        layer_states = jnp.swapaxes(layer_states, 0, 1)
+        all_hidden = jnp.concatenate(
+            [inputs_embeds[:, None], layer_states[:, :-1], normed[:, None]],
+            axis=1)
+        return all_hidden, self.logits_from_normed(normed), new_cache
 
     def prefill_cached(self, inputs_embeds, attention_mask, cache,
                        rope=None):

@@ -26,7 +26,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               causal: bool = False,
               scale: Optional[float] = None,
               bias: Optional[jnp.ndarray] = None,
-              implementation: str = "auto") -> jnp.ndarray:
+              implementation: str = "auto",
+              causal_offset=0) -> jnp.ndarray:
     """Multi-head (optionally grouped-query) attention.
 
     Args:
@@ -36,6 +37,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       causal: apply causal mask (assumes Sq == Skv alignment at the end).
       bias: optional additive logits bias (B|1, H, Sq, Skv) — T5 relpos.
         Forces the XLA path.
+      causal_offset: absolute position of query row 0 for chunked prefill
+        against a KV cache (may be traced). Forces the XLA path when
+        nonzero.
       implementation: 'auto' | 'pallas' | 'xla'.
 
     Returns:
@@ -45,7 +49,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
-    use_pallas = bias is None and (implementation == "pallas" or (
+    offset_static_zero = isinstance(causal_offset, int) and causal_offset == 0
+    use_pallas = bias is None and offset_static_zero and (
+        implementation == "pallas" or (
         implementation == "auto"
         and _platform() not in ("cpu",)
         and fa.supported(qt.shape, kt.shape[2])
@@ -55,5 +61,6 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                  scale=scale)
     else:
         out = fa.xla_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
-                               scale=scale, bias=bias)
+                               scale=scale, bias=bias,
+                               causal_offset=causal_offset)
     return jnp.swapaxes(out, 1, 2)

@@ -419,11 +419,12 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
 
 
 def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
-                   bias=None):
+                   bias=None, causal_offset=0):
     """Reference/fallback path in plain XLA ops.
 
     bias: optional additive logits bias broadcastable to (B, H, Sq, Skv)
-    (T5 relative position bias)."""
+    (T5 relative position bias). causal_offset: absolute position of query
+    row 0 (chunked prefill against a KV cache; may be traced)."""
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
@@ -435,7 +436,7 @@ def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
     if causal:
-        rows = jnp.arange(sq)[:, None]
+        rows = causal_offset + jnp.arange(sq)[:, None]
         cols = jnp.arange(skv)[None, :]
         s = jnp.where(cols <= rows, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
@@ -500,8 +501,8 @@ def supported(q_shape, kv_seq: int) -> bool:
 
 
 def xla_attention(q, k, v, kv_mask=None, causal=False, scale=None,
-                  bias=None):
+                  bias=None, causal_offset=0):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _xla_attention(q, k, v, kv_mask, causal=causal, scale=scale,
-                          bias=bias)
+                          bias=bias, causal_offset=causal_offset)
