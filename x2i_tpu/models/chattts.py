@@ -383,13 +383,18 @@ class VocosVocoder(nn.Module):
 
 
 def make_generation_kv_mask(cfg: ChatTTSConfig, text_mask: jnp.ndarray,
-                            kv_len: int, past_seen: jnp.ndarray):
+                            kv_len: int, past_seen: jnp.ndarray,
+                            seq_end=None):
     """Which cache positions an audio query may attend
     (make_streaming_chunk_mask_generation, :2464-2530): always the bos/spk
     prefix and the audio region; text only the first
     ceil((past-reserved)/audio_chunk)*text_chunk prefilled tokens.
 
     text_mask: (reserved_len,) bool of prefilled text positions.
+    past_seen drives the visible-text chunk computation; seq_end (default:
+    past_seen) bounds the attended extent — chunked audio prefill passes the
+    pre-chunk KV length as past_seen but the chunk end as seq_end, matching
+    prefill_audio_ids (modeling_minicpmo.py:2892).
     Returns (1, kv_len) bool.
     """
     prefix = 1 + cfg.num_spk_embs * int(cfg.use_speaker_embedding)
@@ -406,7 +411,7 @@ def make_generation_kv_mask(cfg: ChatTTSConfig, text_mask: jnp.ndarray,
         constant_values=True)[pos]
     mask = jnp.where(in_text, text_ok, True)
     # nothing beyond the current sequence
-    mask = mask & (pos <= past_seen)
+    mask = mask & (pos <= (past_seen if seq_end is None else seq_end))
     return mask[None, :]
 
 
@@ -511,7 +516,7 @@ class ConditionalChatTTS(nn.Module):
         positions = cache_index + jnp.arange(s)[None, :]
         kv_mask = make_generation_kv_mask(
             self.cfg, text_mask, cache[0].shape[2],
-            cache_index + s - 1)
+            cache_index, seq_end=cache_index + s - 1)
         _, cache = self._run(embeds, positions, kv_mask, cache,
                              cache_index, causal=True)
         return cache
@@ -539,7 +544,7 @@ class ConditionalChatTTS(nn.Module):
     # -- sampling --------------------------------------------------------
     def generate(self, audio_ids, cache, cache_index, text_mask, rng,
                  max_new_tokens: int, min_new_tokens: int = 10,
-                 temperature: float = 1.0, eos_penalize: bool = False):
+                 temperature: float = 1.0):
         """Sample audio codes (:2917-3130) as a lax.fori_loop: per step,
         embed the previous num_vq codes (or audio-bos on the first audio
         position), run one cached step, apply repetition penalty /
@@ -561,11 +566,13 @@ class ConditionalChatTTS(nn.Module):
             l = logits[0].T.astype(jnp.float32)        # (num_vq, V)
             if cfg.repetition_penalty != 1.0:
                 onehot = jax.nn.one_hot(window, l.shape[-1])  # (nvq,w,V)
-                seen = jnp.sum(onehot * window_valid[None, :, None],
-                               axis=1) > 0             # (num_vq, V)
-                l = jnp.where(seen & (l > 0), l / cfg.repetition_penalty,
-                              jnp.where(seen, l * cfg.repetition_penalty,
-                                        l))
+                # per-token occurrence count in the window; reference
+                # scales by penalty**freq (CustomRepetitionPenalty...Repeat,
+                # modeling_minicpmo.py:2545-2549), not a binary flag.
+                count = jnp.sum(onehot * window_valid[None, :, None],
+                                axis=1)                # (num_vq, V)
+                factor = jnp.power(cfg.repetition_penalty, count)
+                l = jnp.where(l > 0, l / factor, l * factor)
             l = l / temperature
             l = jnp.where(step < min_new_tokens,
                           l.at[:, eos].set(-jnp.inf), l)
@@ -608,7 +615,11 @@ class ConditionalChatTTS(nn.Module):
                 finished, audio_ids,
                 jax.lax.dynamic_update_slice_in_dim(
                     audio_ids, next_ids[None, None, :], n, axis=1))
-            finished = finished | jnp.all(next_ids == eos)
+            # reference stops when ANY codebook emits eos
+            # (idx_next.eq(eos_token).any(1), modeling_minicpmo.py:3104);
+            # the eos step is written at slot n but n does not advance, so
+            # valid codes remain [0, n) — matching the reference trim.
+            finished = finished | jnp.any(next_ids == eos)
             n = jnp.where(finished, n, n + 1)
             return audio_ids, cache, n, finished, rng
 

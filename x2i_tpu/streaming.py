@@ -223,7 +223,13 @@ class TTSPipeline:
             jnp.asarray(cfg.condition_length - 1), text_mask, rng,
             max_audio_tokens, temperature=temperature,
             method=self.tts.generate)
+        # trim to the generated codes before mel decode — the reference
+        # slices off the eos code and the unwritten tail before DVAE
+        # (modeling_minicpmo.py: decode uses the accumulated codes only);
+        # feeding the zero-initialized tail yields trailing garbage audio.
+        n = max(int(n), 1)
+        codes = codes[:, :n]
         mel = self.dvae.apply(self.dvae_params, codes,
                               method=self.dvae.decode)
         wav = self.vocoder.apply(self.vocoder_params, mel)
-        return wav, codes, int(n)
+        return wav, codes, n
