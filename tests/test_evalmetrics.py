@@ -95,3 +95,46 @@ def test_frechet_distance_properties(rng):
     far = frechet_distance(a, b)
     assert abs(same) < 1e-6
     assert far > 50.0
+
+
+def test_build_clip_scorer_from_checkpoint_dir(hf_clip, rng, tmp_path):
+    """build_clip_scorer glue: save a tiny HF CLIPModel + tokenizer to
+    disk, load through the one-call builder, match HF logits end to end."""
+    import json
+
+    from transformers import CLIPTokenizer
+
+    from x2i_tpu.evalmetrics import build_clip_scorer
+
+    path = str(tmp_path / "clip")
+    hf_clip.save_pretrained(path)
+    # tiny BPE files consistent with the model's vocab_size=100 / eos=99
+    vocab = {"<|startoftext|>": 98, "<|endoftext|>": 99}
+    nid = 0
+    for t in ([c for c in "abcdefghijklmnopqrstuvwxyz"]
+              + [c + "</w>" for c in "abcdefghijklmnopqrstuvwxyz"]
+              + ["ca", "cat</w>"]):
+        vocab[t] = nid
+        nid += 1
+    with open(tmp_path / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(tmp_path / "merges.txt", "w") as f:
+        f.write("#version: 0.2\nc a\nca t</w>\n")
+    CLIPTokenizer(str(tmp_path / "vocab.json"),
+                  str(tmp_path / "merges.txt")).save_pretrained(path)
+
+    scorer = build_clip_scorer(path)
+    assert scorer.text_model.cfg.eos_token_id == 99
+    assert scorer.vision_model.cfg.image_size == 28
+
+    texts = ["a cat", "cab"]
+    imgs = (rng.random((2, 40, 40, 3)) * 255).astype(np.uint8)
+    px = preprocess_clip_images(imgs, size=28)
+    ids = np.stack([scorer.tokenize(t) for t in texts])
+    with torch.no_grad():
+        out = hf_clip(input_ids=torch.tensor(np.asarray(ids, np.int64)),
+                      pixel_values=torch.tensor(px.transpose(0, 3, 1, 2)))
+        scale = float(hf_clip.logit_scale.exp())
+        want = (out.logits_per_image.diagonal() / scale * 100).numpy()
+    got = scorer.clip_t(imgs, texts)
+    np.testing.assert_allclose(got, want, atol=1e-3)

@@ -76,6 +76,79 @@ class CLIPScorer:
         return np.asarray(100.0 * jnp.sum(img * txt, axis=-1))
 
 
+def build_clip_scorer(clip_path: str,
+                      dtype=jnp.float32) -> "CLIPScorer":
+    """One-call loader: HF CLIP checkpoint directory -> CLIPScorer.
+
+    Reads config.json + weights (safetensors or pytorch_model.bin) of a
+    `transformers.CLIPModel` export (e.g. openai/clip-vit-large-patch14 —
+    the text tower the reference loads at /root/reference/infer/
+    inference_minicpm.py:67), converts both towers + projections to the
+    flax modules, and builds the BPE tokenize callable via the checkpoint's
+    own tokenizer files. Eval runs in f32 by default for score stability.
+    """
+    import json
+    import os
+
+    from x2i_tpu.convert.load import load_safetensors_dir, load_torch_bin
+    from x2i_tpu.convert.torch_models import (_np, clip_params_from_hf,
+                                              clip_vision_params_from_hf)
+
+    with open(os.path.join(clip_path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    tc, vc = hf_cfg["text_config"], hf_cfg["vision_config"]
+    proj_dim = hf_cfg.get("projection_dim", 768)
+
+    text_cfg = CLIPTextConfig(
+        vocab_size=tc.get("vocab_size", 49408),
+        hidden_size=tc.get("hidden_size", 768),
+        intermediate_size=tc.get("intermediate_size", 3072),
+        num_hidden_layers=tc.get("num_hidden_layers", 12),
+        num_attention_heads=tc.get("num_attention_heads", 12),
+        max_position_embeddings=tc.get("max_position_embeddings", 77),
+        eos_token_id=tc.get("eos_token_id", 49407),
+        dtype=dtype, param_dtype=dtype)
+    vision_cfg = CLIPVisionConfig(
+        hidden_size=vc.get("hidden_size", 1024),
+        intermediate_size=vc.get("intermediate_size", 4096),
+        num_hidden_layers=vc.get("num_hidden_layers", 24),
+        num_attention_heads=vc.get("num_attention_heads", 16),
+        image_size=vc.get("image_size", 224),
+        patch_size=vc.get("patch_size", 14),
+        projection_dim=proj_dim, dtype=dtype, param_dtype=dtype)
+
+    try:
+        sd = load_safetensors_dir(clip_path)
+    except FileNotFoundError:
+        sd = load_torch_bin(os.path.join(clip_path, "pytorch_model.bin"))
+
+    text_params = clip_params_from_hf(sd, text_cfg.num_hidden_layers)
+    vision_params = clip_vision_params_from_hf(
+        sd, vision_cfg.num_hidden_layers)
+    text_projection = jnp.asarray(_np(sd["text_projection.weight"]).T,
+                                  dtype)
+    visual_projection = jnp.asarray(_np(sd["visual_projection.weight"]).T,
+                                    dtype)
+
+    from transformers import CLIPTokenizerFast
+    tok = CLIPTokenizerFast.from_pretrained(clip_path)
+    max_len = text_cfg.max_position_embeddings
+
+    def tokenize(text: str) -> np.ndarray:
+        return np.asarray(
+            tok(text, padding="max_length", truncation=True,
+                max_length=max_len)["input_ids"], np.int32)
+
+    return CLIPScorer(
+        text_model=CLIPTextEncoder(text_cfg),
+        text_params={"params": text_params},
+        vision_model=CLIPVisionEncoder(vision_cfg),
+        vision_params={"params": vision_params},
+        text_projection=text_projection,
+        visual_projection=visual_projection,
+        tokenize=tokenize)
+
+
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     """scipy-free Fréchet distance (FID with inception-style features;
     CLIP features here => 'CLIP-FID'): trace term via eigenvalues of
