@@ -122,3 +122,27 @@ def test_inference_prompt_semantics():
     content = minicpm_omni_content("Add a car", num_images=2, num_audios=1)
     assert content == ("(<image>./</image>)\n" * 2
                        + "(<audio>./</audio>)\n" + "Add a car")
+
+
+def test_comfyui_plugin_shim_loads_like_comfyui(tmp_path):
+    """ComfyUI imports custom_nodes/<pkg>/__init__.py and reads
+    NODE_CLASS_MAPPINGS; simulate that exact load from a fresh module
+    name with no package context."""
+    import importlib.util
+    import os
+
+    shim = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "comfyui_x2i_tpu", "__init__.py")
+    spec = importlib.util.spec_from_file_location(
+        "custom_nodes.comfyui_x2i_tpu", shim)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert set(mod.NODE_CLASS_MAPPINGS) == set(
+        mod.NODE_DISPLAY_NAME_MAPPINGS)
+    assert "X2I_MLLMEncode" in mod.NODE_CLASS_MAPPINGS
+    for cls in mod.NODE_CLASS_MAPPINGS.values():
+        # the ComfyUI node protocol surface
+        assert callable(cls.INPUT_TYPES)
+        assert isinstance(cls.RETURN_TYPES, tuple)
+        assert hasattr(cls, cls.FUNCTION)
