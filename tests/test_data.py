@@ -257,3 +257,32 @@ def test_multiprocess_loader_error():
     loader = MultiprocessLoader(make_iterable, num_workers=1)
     with pytest.raises(RuntimeError, match="worker failed"):
         next(iter(loader))
+
+
+def test_multiprocess_loader_finite_epoch_terminates():
+    """resample=False single-epoch streams must end cleanly: workers post
+    completion sentinels, the consumer drains exactly the union and the
+    loop exits without blocking on the queue timeout."""
+    from x2i_tpu.data.loader import MultiprocessLoader
+
+    def make_iterable(worker_id, num_workers):
+        return ({"w": worker_id, "i": i} for i in range(3))
+
+    loader = MultiprocessLoader(make_iterable, num_workers=2)
+    out = list(loader)          # must return by itself
+    assert len(out) == 6
+    assert sorted((s["w"], s["i"]) for s in out) == [
+        (w, i) for w in (0, 1) for i in range(3)]
+
+
+def test_shard_sampler_refuses_duplicated_epoch():
+    """Single-epoch mode with fewer shards than hosts would silently run
+    the same epoch on every host — must raise, not duplicate."""
+    with pytest.raises(ValueError, match="duplicated"):
+        list(ShardSampler(["only.tar"], resample=False,
+                          host_index=1, host_count=2))
+    # resampled mode keeps the wds.ResampledShards fallback (warns)
+    s = ShardSampler(["only.tar"], resample=True,
+                     host_index=1, host_count=2)
+    it = iter(s)
+    assert next(it) == "only.tar"

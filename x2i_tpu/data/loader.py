@@ -99,6 +99,12 @@ def _mp_worker(make_iterable, cpu_preprocess, out_q, worker_id, num_workers):
             out_q.put(sample)
     except Exception as exn:                  # noqa: BLE001
         out_q.put(("__error__", repr(exn)))
+    else:
+        # completion sentinel: lets the consumer terminate finite
+        # (resample=False single-epoch) streams instead of blocking on
+        # out_q.get until the timeout (reference robustness stance,
+        # core/data/dataloader.py:368-397 retries; we prefer clean EOS).
+        out_q.put(("__done__", worker_id))
 
 
 class MultiprocessLoader:
@@ -127,16 +133,28 @@ class MultiprocessLoader:
         ]
         for p in procs:
             p.start()
+        done = 0
         try:
-            while True:
+            while done < self.num_workers:
                 item = out_q.get(timeout=600.0)
-                if (isinstance(item, tuple) and len(item) == 2
-                        and item[0] == "__error__"):
-                    raise RuntimeError(f"data worker failed: {item[1]}")
+                if isinstance(item, tuple) and len(item) == 2:
+                    if item[0] == "__error__":
+                        raise RuntimeError(
+                            f"data worker failed: {item[1]}")
+                    if item[0] == "__done__":
+                        done += 1
+                        continue
                 yield item
         finally:
+            # clean join for workers that finished; terminate stragglers
+            # (early consumer exit or error paths)
             for p in procs:
-                p.terminate()
+                p.join(timeout=0.5 if done >= self.num_workers else 0.0)
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5.0)
 
 
 def stack_collate(samples, keys=None):

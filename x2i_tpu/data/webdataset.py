@@ -76,7 +76,24 @@ class ShardSampler:
         self.rng = random.Random(seed + 17 * self.host_index)
 
     def __iter__(self) -> Iterator[str]:
-        mine = self.urls[self.host_index::self.host_count] or self.urls
+        mine = self.urls[self.host_index::self.host_count]
+        if not mine:
+            # fewer shards than hosts: in resampled (infinite) mode every
+            # host drawing from the full list is the wds.ResampledShards
+            # norm, but say so; in single-epoch mode it would silently
+            # duplicate the epoch on every host — refuse.
+            if not self.resample:
+                raise ValueError(
+                    f"ShardSampler: {len(self.urls)} shard(s) across "
+                    f"{self.host_count} hosts leaves host "
+                    f"{self.host_index} empty; a resample=False epoch "
+                    f"would be duplicated per host. Provide >= host_count "
+                    f"shards or use resample=True.")
+            log.warning(
+                "ShardSampler: %d shard(s) < %d hosts; host %d resamples "
+                "from the full list (cross-host duplicates expected)",
+                len(self.urls), self.host_count, self.host_index)
+            mine = self.urls
         if self.resample:
             while True:
                 yield self.rng.choice(mine)
