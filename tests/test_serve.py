@@ -28,7 +28,9 @@ def test_batches_fill_and_pad():
     srv.close()
 
 
-def test_partial_batch_padding():
+def test_partial_batch_runs_smallest_bucket():
+    """A lone request at batch_size 4 runs the size-1 compiled bucket —
+    no duplicate-request compute at partial load."""
     sizes = []
 
     def gen(batch):
@@ -36,10 +38,32 @@ def test_partial_batch_padding():
         return np.zeros((len(batch), 1, 1, 3), np.uint8)
 
     srv = BatchingServer(gen, batch_size=4, max_wait_s=0.01)
+    assert srv.buckets == [1, 2, 4]
     out = srv.generate({"v": 1}, timeout=5)
     assert out.shape == (1, 1, 3)
-    assert sizes[0] == 4         # padded to the static batch
+    assert sizes[0] == 1
     srv.close()
+
+
+def test_three_requests_pad_to_bucket_four():
+    sizes = []
+
+    def gen(batch):
+        sizes.append(len(batch))
+        return np.stack([np.full((1, 1, 3), r.get("v", 0), np.uint8)
+                         for r in batch])
+
+    srv = BatchingServer(gen, batch_size=4, max_wait_s=0.5)
+    futs = [srv.submit({"v": i}) for i in range(3)]
+    outs = [f.result(timeout=10) for f in futs]
+    assert sizes[0] == 4         # 3 -> next bucket (4), one pad slot
+    assert [int(o[0, 0, 0]) for o in outs] == [0, 1, 2]
+    srv.close()
+
+
+def test_bucket_validation():
+    with pytest.raises(ValueError, match="top out"):
+        BatchingServer(lambda b: None, batch_size=4, buckets=[1, 2])
 
 
 def test_concurrent_producers():

@@ -178,12 +178,13 @@ class X2IPipeline:
         return self.generate(pooled, embeds, **gen_kwargs)
 
     def serving_server(self, batch_size: int = 1, max_wait_s: float = 0.05,
-                       **gen_kwargs):
-        """-> x2i_tpu.serve.BatchingServer over this pipeline."""
+                       buckets=None, **gen_kwargs):
+        """-> x2i_tpu.serve.BatchingServer over this pipeline (size-
+        bucketed batches; each bucket is one compiled shape)."""
         from x2i_tpu.serve import BatchingServer
         return BatchingServer(
             lambda reqs: self.run_batch(reqs, **gen_kwargs),
-            batch_size=batch_size, max_wait_s=max_wait_s)
+            batch_size=batch_size, max_wait_s=max_wait_s, buckets=buckets)
 
 
 def build_random_pipeline(scale: str = "tiny",

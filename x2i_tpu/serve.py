@@ -1,11 +1,13 @@
 """Request-batching serving engine.
 
 The reference serves one request at a time from CLI scripts; for production
-TPU serving, throughput comes from batching requests into the fixed-shape
-jitted generate program. This engine collects requests from concurrent
-producers into fixed-size batches (padding the tail with the last request
-to keep shapes static and compiles unique), runs the pipeline, and delivers
-per-request results via futures.
+TPU serving, throughput comes from batching requests into fixed-shape
+jitted generate programs. This engine collects requests from concurrent
+producers into size-bucketed batches — a partial batch runs the smallest
+compiled bucket that fits (e.g. {1, 2, 4}), so a lone request at batch_size
+4 runs the size-1 program instead of padding 75% of the TPU step with
+duplicate work. Each bucket size is one static shape, so XLA compiles each
+once. Results are delivered per-request via futures.
 """
 
 from __future__ import annotations
@@ -20,17 +22,33 @@ import numpy as np
 
 class BatchingServer:
     """Args:
-      generate_batch: fn(list_of_request_dicts_padded_to_batch) ->
+      generate_batch: fn(list_of_request_dicts_padded_to_bucket) ->
         np.ndarray images (B, H, W, 3); requests carry the encoder inputs.
-      batch_size: static batch the jitted program was compiled for.
-      max_wait_s: max latency to wait filling a batch before padding.
+      batch_size: largest compiled batch (top bucket).
+      max_wait_s: max latency to wait filling a batch before dispatching.
+      buckets: compiled batch sizes (default: powers of two up to
+        batch_size); a partial batch runs the smallest bucket that fits.
     """
 
+    _STOP = object()
+
     def __init__(self, generate_batch: Callable[[List[Dict]], np.ndarray],
-                 batch_size: int = 1, max_wait_s: float = 0.05):
+                 batch_size: int = 1, max_wait_s: float = 0.05,
+                 buckets: Optional[List[int]] = None):
         self.generate_batch = generate_batch
         self.batch_size = batch_size
         self.max_wait_s = max_wait_s
+        if buckets is None:
+            # powers of two up to batch_size (plus batch_size itself)
+            buckets, b = [], 1
+            while b < batch_size:
+                buckets.append(b)
+                b *= 2
+            buckets.append(batch_size)
+        self.buckets = sorted(set(buckets))
+        if self.buckets[-1] != batch_size:
+            raise ValueError(f"buckets {buckets} must top out at "
+                             f"batch_size {batch_size}")
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -65,10 +83,14 @@ class BatchingServer:
                 items = self._collect()
             except Exception:             # noqa: BLE001
                 continue
+            items = [(r, f) for r, f in items if r is not self._STOP]
+            if not items:
+                continue          # woken only by the close() sentinel
             requests = [r for r, _ in items]
-            # pad to the static batch with copies of the last request
-            padded = requests + [requests[-1]] * (
-                self.batch_size - len(requests))
+            # run the smallest compiled bucket that fits; pad only the
+            # (at most bucket/2 - 1) remainder slots
+            bucket = next(b for b in self.buckets if b >= len(requests))
+            padded = requests + [requests[-1]] * (bucket - len(requests))
             try:
                 images = self.generate_batch(padded)
                 for i, (_, fut) in enumerate(items):
@@ -80,6 +102,8 @@ class BatchingServer:
 
     def close(self):
         self._stop.set()
-        # unblock the collector
-        self._queue.put(({}, Future()))
+        # unblock the collector; the _STOP marker is filtered out in _loop
+        # (processing it as a request would leave a stray generate running
+        # through interpreter shutdown)
+        self._queue.put((self._STOP, Future()))
         self._thread.join(timeout=5)
