@@ -258,3 +258,45 @@ def test_long_sequence_dispatch(rng, monkeypatch):
     gx = jax.grad(lambda q: jnp.sum(
         famod.xla_attention(q, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=2e-3)
+
+
+def test_dispatcher_pads_odd_lengths_to_kernel(rng):
+    """Odd joint sequence lengths (832^2-960^2 latent grids) must run the
+    Pallas kernel via pad-and-mask, matching XLA attention exactly — the
+    former 2.6x XLA-fallback cliff (ROUND1_NOTES.md item 7)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from x2i_tpu.ops.attention import attention
+
+    B, S, H, D = 1, 3216, 2, 64      # 104x104 grid + 512 txt -> 3216
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        implementation="pallas")
+    want = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                     implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_dispatcher_pad_path_respects_kv_mask(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from x2i_tpu.ops.attention import attention
+
+    B, S, H, D = 2, 200, 2, 64
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    mask = np.ones((B, S), bool)
+    mask[:, 150:] = False
+    with pltpu.force_tpu_interpret_mode():
+        got = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        kv_mask=jnp.asarray(mask),
+                        implementation="pallas")
+    want = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                     kv_mask=jnp.asarray(mask), implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

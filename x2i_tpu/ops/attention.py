@@ -48,15 +48,33 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    b, _, sq, d = qt.shape
+    skv = kt.shape[2]
 
     offset_static_zero = isinstance(causal_offset, int) and causal_offset == 0
-    use_pallas = bias is None and offset_static_zero and (
+    pallas_ok = bias is None and offset_static_zero and (
         implementation == "pallas" or (
-        implementation == "auto"
-        and _platform() not in ("cpu",)
-        and fa.supported(qt.shape, kt.shape[2])
-    ))
-    if use_pallas:
+            implementation == "auto" and _platform() not in ("cpu",)))
+    use_pallas = pallas_ok and fa.supported(qt.shape, skv)
+
+    # pad-and-mask path: the kernel needs S % 128 == 0; odd joint lengths
+    # (e.g. 832^2..960^2 latent grids -> 3216..4112 tokens) previously fell
+    # off a 2.6x cliff to XLA attention. Pad q rows (sliced off below) and
+    # kv with masked-out keys instead. Non-causal only: end-padding both
+    # sides would shift the kernel's causal diagonal alignment.
+    pad_q, pad_kv = (-sq) % 128, (-skv) % 128
+    if (not use_pallas and pallas_ok and not causal
+            and d in (64, 128, 256) and (pad_q or pad_kv)
+            and fa.supported((b, qt.shape[1], sq + pad_q, d),
+                             skv + pad_kv)):
+        qp = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        kp = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        vp = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        mask = kv_mask if kv_mask is not None else jnp.ones((b, skv), bool)
+        mask = jnp.pad(mask.astype(bool), ((0, 0), (0, pad_kv)))
+        out = fa.flash_attention(qp, kp, vp, kv_mask=mask, causal=False,
+                                 scale=scale)[:, :, :sq]
+    elif use_pallas:
         out = fa.flash_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
                                  scale=scale)
     else:
