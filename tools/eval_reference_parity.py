@@ -34,14 +34,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-DEFAULT_PROMPTS = [
-    # reference text2image English prompt plus short coverage prompts in
-    # the spirit of the 6-language bank (inference_minicpm.py:218-235).
-    "A cute cat sitting on a wooden table, high quality photo",
-    "An oil painting of a lighthouse at sunset",
-    "A futuristic city skyline at night, neon lights",
-    "A bowl of fresh fruit on a checkered tablecloth",
-]
+def _default_prompts():
+    # the 6-language text2image bank (mirrors the reference protocol,
+    # inference_minicpm.py:218-235)
+    from x2i_tpu.prompts import text2image_bank
+    return [p for _, p in text2image_bank()]
 
 
 def load_images_dir(path: str) -> np.ndarray:
@@ -85,7 +82,7 @@ def main(argv=None) -> dict:
     from x2i_tpu.evalmetrics import (build_clip_scorer, frechet_distance,
                                      seed_matched_protocol)
 
-    prompts = DEFAULT_PROMPTS
+    prompts = _default_prompts()
     if args.prompts_file:
         with open(args.prompts_file) as f:
             prompts = [ln.strip() for ln in f if ln.strip()]

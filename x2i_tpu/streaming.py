@@ -199,9 +199,16 @@ class TTSPipeline:
         self.bos_token_id = bos_token_id
 
     def speak(self, text: str, spk_hidden, rng, max_audio_tokens: int = 256,
-              temperature: float = 1.0):
-        """-> (waveform (1, n_samples), audio codes (1, n, num_vq), n)."""
+              temperature: float = 1.0, normalize_numbers: bool = True):
+        """-> (waveform (1, n_samples), audio codes (1, n, num_vq), n).
+
+        normalize_numbers: spell digits out per-language before tokenizing
+        (the reference applies NumberToTextConverter in streaming TTS,
+        minicpm/utils.py:44-123)."""
         cfg = self.tts.cfg
+        if normalize_numbers:
+            from x2i_tpu.data.tts_text import replace_numbers_with_text
+            text = replace_numbers_with_text(text)
         reserved = cfg.streaming_text_reserved_len
         ids = self.tts_tokenize(text)[:reserved]
         n_text = len(ids)
