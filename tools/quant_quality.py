@@ -1,0 +1,210 @@
+"""Quantization quality study: w8 / w8a8 error vs bf16 at realistic
+weight and activation statistics.
+
+Round-1 reported end-to-end 4-step latent drift corr 0.967 for w8a8 at
+RANDOM weights. That number conflates two things this study separates:
+
+1. **Per-op error** — the error one QuantDense introduces. This depends
+   only on weight/activation statistics, which we can model faithfully
+   without checkpoints: fan-in-scaled gaussians plus heavy-tailed outlier
+   channels (the documented transformer pathology, LLM.int8() Dettmers et
+   al. 2022) at several severities.
+2. **Depth amplification** — how per-op error grows through 57 random
+   blocks. Random (untrained) nets are chaotic amplifiers; trained nets
+   are not (residual branches learn small gains). We measure the
+   per-block amplification factor explicitly so the end-to-end random
+   number can be read correctly.
+
+Output: one JSON with per-op relative errors (w8, w8a8) across outlier
+severities, per-block errors through a real FLUX block, and the
+end-to-end drift with its measured amplification exponent.
+
+Run: python tools/quant_quality.py [--cpu] [--px 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def corr(a, b):
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def realistic_kernel(rng, d_in, d_out, outlier_factor=1.0,
+                     outlier_frac=0.01):
+    """Fan-in-scaled gaussian with a fraction of amplified input channels
+    (trained-transformer outlier statistics)."""
+    k = rng.standard_normal((d_in, d_out)).astype(np.float32)
+    k /= np.sqrt(d_in)
+    n_out = max(1, int(outlier_frac * d_in))
+    idx = rng.choice(d_in, n_out, replace=False)
+    k[idx] *= outlier_factor
+    return k
+
+
+def realistic_acts(rng, batch, seq, d, outlier_factor=1.0,
+                   outlier_frac=0.005):
+    """Activations: ~laplace body + a few hot channels (post-LN residual
+    stream statistics)."""
+    x = rng.laplace(size=(batch, seq, d)).astype(np.float32)
+    n_out = max(1, int(outlier_frac * d))
+    idx = rng.choice(d, n_out, replace=False)
+    x[..., idx] *= outlier_factor
+    return x
+
+
+def per_op_study(rng):
+    import jax.numpy as jnp
+
+    from x2i_tpu.ops.quant import quantize_kernel, w8_matmul, w8a8_matmul
+
+    out = {}
+    d_in, d_out, seq = 3072, 3072, 512
+    for w_out in (1.0, 4.0, 16.0):
+        for a_out in (1.0, 4.0, 16.0):
+            k = realistic_kernel(rng, d_in, d_out, w_out)
+            x = realistic_acts(rng, 1, seq, d_in, a_out)
+            qk, scale = quantize_kernel(k)
+            ref = x.astype(np.float32) @ k
+            w8 = w8_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qk),
+                           jnp.asarray(scale))
+            w8a8 = w8a8_matmul(jnp.asarray(x, jnp.bfloat16),
+                               jnp.asarray(qk), jnp.asarray(scale))
+            key = f"w_outlier={w_out}_a_outlier={a_out}"
+            out[key] = {"w8_rel_err": rel_err(w8, ref),
+                        "w8a8_rel_err": rel_err(w8a8, ref)}
+    return out
+
+
+def end_to_end_study(rng, px, layers=4, single_layers=8):
+    """4-step denoise at mid scale, bf16 vs w8 vs w8a8, plus the measured
+    per-block error amplification on random weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from x2i_tpu.core.config import FluxConfig
+    from x2i_tpu.diffusion import (denoise, prepare_latent_image_ids)
+    from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
+    from x2i_tpu.core.config import SchedulerConfig
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.ops.quant import quantize_tree
+
+    base = dict(
+        num_layers=layers, num_single_layers=single_layers,
+        attention_head_dim=64,
+        num_attention_heads=4, joint_attention_dim=256,
+        pooled_projection_dim=64, in_channels=64, guidance_embeds=False,
+        axes_dims_rope=(16, 24, 24), use_pallas_attention=False)
+    grid = px // 8
+    s_img, s_txt, b = (grid // 2) ** 2, 64, 1
+
+    cfg = FluxConfig(**base)
+    model = FluxTransformer2D(cfg)
+    args = (jnp.zeros((b, s_img, cfg.in_channels), jnp.bfloat16),
+            jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16),
+            jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16),
+            jnp.zeros((b,), jnp.float32),
+            prepare_latent_image_ids(grid, grid),
+            jnp.zeros((s_txt, 3), jnp.float32))
+    params = model.init(jax.random.key(0), *args)
+
+    sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+    sigmas = sched.inference_sigmas(4)
+    noise = jax.random.normal(jax.random.key(1),
+                              (b, s_img, cfg.in_channels), jnp.bfloat16)
+    prompt = jax.random.normal(
+        jax.random.key(2), (b, s_txt, cfg.joint_attention_dim),
+        jnp.bfloat16)
+    pooled = jax.random.normal(
+        jax.random.key(3), (b, cfg.pooled_projection_dim), jnp.bfloat16)
+    img_ids = prepare_latent_image_ids(grid, grid)
+    txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
+
+    def run(quant):
+        if quant:
+            c = FluxConfig(**base, quantized=quant)
+            m = FluxTransformer2D(c)
+            p = {"params": quantize_tree(params["params"])}
+        else:
+            m, p = model, params
+
+        def model_fn(lat, pr, po, t, iid, tid, g):
+            return m.apply(p, lat, pr, po, t, iid, tid)
+
+        lat = jax.jit(lambda n: denoise(model_fn, n, prompt, pooled,
+                                        sigmas, img_ids, txt_ids))(noise)
+        return np.asarray(lat, np.float32)
+
+    ref = run(False)
+    w8 = run("w8")
+    w8a8 = run("w8a8")
+
+    # single-forward drift vs 4-step drift -> amplification per step
+    def fwd(quant):
+        if quant:
+            c = FluxConfig(**base, quantized=quant)
+            m = FluxTransformer2D(c)
+            p = {"params": quantize_tree(params["params"])}
+        else:
+            m, p = model, params
+        return np.asarray(jax.jit(m.apply)(
+            p, noise, prompt, pooled, jnp.full((b,), 0.9, jnp.float32),
+            img_ids, txt_ids), np.float32)
+
+    f_ref, f_w8a8 = fwd(False), fwd("w8a8")
+
+    return {
+        "px": px, "layers": layers, "single_layers": single_layers,
+        "one_forward": {"w8a8_rel_err": rel_err(f_w8a8, f_ref)},
+        "four_step_latent": {
+            "w8_rel_err": rel_err(w8, ref), "w8_corr": corr(w8, ref),
+            "w8a8_rel_err": rel_err(w8a8, ref),
+            "w8a8_corr": corr(w8a8, ref),
+        },
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--px", type=int, default=256)
+    ap.add_argument("--full_depth", action="store_true",
+                    help="also run 19+38 blocks (slow on CPU)")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.default_rng(0)
+    result = {
+        "per_op": per_op_study(rng),
+        "end_to_end_random_weights": end_to_end_study(rng, args.px),
+    }
+    if args.full_depth:
+        # the reference depth (19 double + 38 single) captures the full
+        # depth-amplification the 12B model sees
+        result["end_to_end_full_depth"] = end_to_end_study(
+            rng, args.px, layers=19, single_layers=38)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()
