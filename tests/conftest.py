@@ -34,6 +34,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy compile/golden tests — excluded from the default "
+        "fast tier; run with X2I_FULL_TESTS=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default invocation (`pytest tests/`) runs the
+    fast tier (< 5 min on this host); slow-marked tests run when
+    X2I_FULL_TESTS=1 is set or an explicit -m expression selects them."""
+    if config.option.markexpr or os.environ.get("X2I_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (X2I_FULL_TESTS=1 or -m slow to run)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -9,10 +9,13 @@ import torch
 import torch.nn as tnn
 
 from x2i_tpu.models.chattts import (ChatTTSConfig, ConditionalChatTTS,
+
                                     ConvNeXt1DBlock, DVAE, DVAEDecoder,
                                     VocosVocoder, fsq_codes_to_indices,
                                     fsq_indices_to_codes, fsq_quantize,
                                     make_generation_kv_mask)
+
+pytestmark = pytest.mark.slow
 
 
 def _torch_convnext(dim, inter, kernel, dilation):

@@ -13,6 +13,8 @@ from x2i_tpu.models.decoding import (concat_answer_hiddens,
                                      greedy_decode_with_hiddens)
 from x2i_tpu.models.qwen2 import Qwen2LM
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def hf_and_jax():

@@ -10,6 +10,8 @@ import pytest
 from x2i_tpu.parallel.disaggregated import DisaggregatedDistill
 from x2i_tpu.train.harness import build_tiny_distill
 
+pytestmark = pytest.mark.slow
+
 
 def test_disaggregated_pools_train():
     (teacher_fn, student_fn), state, flux_params, batch = \

@@ -67,6 +67,7 @@ def test_normalize_matches_torch(rng):
 from x2i_tpu.train.harness import build_tiny_distill as _build_tiny_trainer
 
 
+@pytest.mark.slow
 def test_distill_step_runs_and_learns():
     step_fn, state, flux_params, batch = _build_tiny_trainer()
     jstep = jax.jit(step_fn)
@@ -79,6 +80,7 @@ def test_distill_step_runs_and_learns():
     assert float(metrics["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 def test_distill_step_sharded_multidevice():
     """Same step under a (data, fsdp, tensor) mesh with batch sharded over
     all 8 virtual devices."""
@@ -103,6 +105,7 @@ def test_distill_step_sharded_multidevice():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_distill_with_8bit_adam():
     """use_8bit_adam flag: distillation trains with fp8-moment optimizer
     (reference launchers default to bnb AdamW8bit)."""
@@ -123,6 +126,7 @@ def test_distill_with_8bit_adam():
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+@pytest.mark.slow
 def test_inline_kd_matches_two_pass(rng):
     """The inline per-block KD path (scalars leave the scan) computes the
     same loss as the materialized two-pass kd_loss."""
@@ -161,6 +165,7 @@ def test_inline_kd_matches_two_pass(rng):
     np.testing.assert_allclose(float(got), float(want), rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_inline_kd_distill_step(rng):
     """End-to-end distill step with inline_kd=True: loss matches the
     default path and still decreases."""
@@ -191,6 +196,7 @@ def test_inline_kd_distill_step(rng):
                                float(m_ref["loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_kd_stacks_close_to_dense(rng):
     """Per-token int8 teacher stacks give the same KD loss to ~1% (both
     through the two-pass kd_loss and the inline scan path)."""
@@ -251,6 +257,7 @@ def test_int8_kd_stacks_close_to_dense(rng):
                                    np.asarray(qaux[key][1]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_regenerated_latents_match_shipped(rng):
     """slim_handoff split topology (teacher ships ONLY the KD stacks; the
     student regenerates the seeded latents from the shared rng and reads
@@ -273,6 +280,7 @@ def test_regenerated_latents_match_shipped(rng):
                                float(m_ref["loss"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_single_chip_split_compiler(rng):
     """compile_single_chip_distill (AOT teacher/student executables with a
     layout-pinned hand-off) reproduces the colocated-step loss on tiny

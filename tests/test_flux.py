@@ -29,6 +29,7 @@ def _inputs(rng):
     return cfg, hidden, encoder, pooled, t, img_ids, txt_ids
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_aux(rng):
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     model = FluxTransformer2D(cfg)
@@ -45,6 +46,7 @@ def test_forward_shapes_and_aux(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_scanned_params_are_stacked(rng):
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     model = FluxTransformer2D(cfg)
@@ -56,6 +58,7 @@ def test_scanned_params_are_stacked(rng):
     assert sb["q"]["kernel"].shape[0] == cfg.num_single_layers
 
 
+@pytest.mark.slow
 def test_controls_injection_changes_output(rng):
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     model = FluxTransformer2D(cfg)
@@ -72,6 +75,7 @@ def test_controls_injection_changes_output(rng):
     np.testing.assert_allclose(np.asarray(base), np.asarray(zero), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_guidance_variant(rng):
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     cfg = tiny_flux_config(guidance_embeds=True)
@@ -86,6 +90,7 @@ def test_guidance_variant(rng):
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.slow
 def test_jit_and_grad(rng):
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     model = FluxTransformer2D(cfg)
@@ -126,6 +131,7 @@ def test_timestep_embedding_matches_diffusers_convention():
 
 
 @pytest.mark.parametrize("flag", ["shard_activations", "shard_sequence"])
+@pytest.mark.slow
 def test_parallel_sharding_matches_unsharded(rng, flag):
     """TP/SP sharding constraints change placement, not math."""
     from x2i_tpu.core.config import MeshConfig
@@ -160,6 +166,7 @@ def test_parallel_sharding_matches_unsharded(rng, flag):
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_stack_remat_matches_block_remat(rng):
     """remat="stack" (remat around each whole scan) is numerically
     identical to block-level remat, forward and gradient."""
@@ -182,6 +189,7 @@ def test_stack_remat_matches_block_remat(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_single_scan_matches_flat(rng):
     """single_scan_chunks=2 (sqrt-checkpointed singles) is numerically
     identical to the flat scan, forward and gradient, with params

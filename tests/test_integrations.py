@@ -1,6 +1,8 @@
 """ComfyUI surface (conditioning format, proj checkpoint roundtrip) and
 multi-turn session behavior."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,7 @@ def test_proj_checkpoint_roundtrip(tmp_path):
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_mllm_encode_conditioning_format():
     cfg, proj, params = _tiny_proj()
 
@@ -54,6 +57,7 @@ def test_mllm_encode_conditioning_format():
     assert extras["pooled_output"].shape == (1, 8)
 
 
+@pytest.mark.slow
 def test_multiturn_session():
     lm_cfg = tiny_qwen2_config()
     lm = Qwen2LM(lm_cfg)
@@ -93,6 +97,7 @@ def test_multiturn_session():
     assert not sess.history
 
 
+@pytest.mark.slow
 def test_proj_with_t5_refiner(rng):
     """use_t5=True wires the T5EncoderStack refiner (utils/proj.py:41-46)."""
     cfg = ProjConfig(in_channels=3, input_dim=16, output_dim0=8,

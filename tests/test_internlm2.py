@@ -14,6 +14,8 @@ from x2i_tpu.convert.torch_models import internlm2_params_from_hf
 from x2i_tpu.core.config import Qwen2Config
 from x2i_tpu.models.qwen2 import Qwen2LM
 
+pytestmark = pytest.mark.slow
+
 REF_DIR = "/root/reference/model_internvl/internvl"
 
 

@@ -1,6 +1,8 @@
 """InternVL encoder: pixel-shuffle parity vs the torch formulation,
 image-feature scatter order, hidden-stack shapes."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +11,10 @@ import torch
 from x2i_tpu.core.config import (InternViTConfig, InternVLConfig,
                                  tiny_qwen2_config)
 from x2i_tpu.models.internvl import (InternViT, InternVLEncoder,
+
                                      pixel_shuffle)
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_vit(**kw):

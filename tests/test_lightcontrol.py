@@ -1,6 +1,8 @@
 """Phase-2 LightControl: ControlNeXt shapes, control-bank vmap, and a full
 training step on tiny configs (loss finite, only control params move)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,8 +15,11 @@ from x2i_tpu.models.controlnext import (ControlNeXt, apply_control_bank,
 from x2i_tpu.models.flux import FluxTransformer2D
 from x2i_tpu.models.vae import AutoencoderKL
 from x2i_tpu.train.lightcontrol import (ControlTrainState,
+
                                         make_lightcontrol_optimizer,
                                         make_lightcontrol_step)
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_control():

@@ -21,7 +21,10 @@ from x2i_tpu.models.resampler import (Resampler, ResamplerConfig,
                                       get_2d_sincos_pos_embed)
 from x2i_tpu.models.siglip import SiglipVisionConfig, SiglipVisionTransformer
 from x2i_tpu.models.whisper_enc import (AudioProjector, WhisperConfig,
+
                                         WhisperEncoder)
+
+pytestmark = pytest.mark.slow
 
 
 def test_siglip_matches_hf(rng):

@@ -184,6 +184,7 @@ def test_attention_grads_flow(rng):
 @pytest.mark.parametrize("causal,gqa,masked",
                          [(False, 1, False), (True, 1, False),
                           (False, 2, True), (True, 2, True)])
+@pytest.mark.slow
 def test_pallas_backward_matches_xla_interpret(rng, causal, gqa, masked):
     """Fused Pallas backward (dq/dk/dv) vs autodiff through the XLA path."""
     from jax.experimental.pallas import tpu as pltpu
@@ -215,6 +216,7 @@ def test_pallas_backward_matches_xla_interpret(rng, causal, gqa, masked):
 
 
 @pytest.mark.parametrize("causal,masked", [(False, False), (True, True)])
+@pytest.mark.slow
 def test_pallas_chunked_forward_interpret(rng, causal, masked):
     """Online-softmax chunked kernel == full-KV result."""
     from jax.experimental.pallas import tpu as pltpu
@@ -260,6 +262,7 @@ def test_long_sequence_dispatch(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_dispatcher_pads_odd_lengths_to_kernel(rng):
     """Odd joint sequence lengths (832^2-960^2 latent grids) must run the
     Pallas kernel via pad-and-mask, matching XLA attention exactly — the

@@ -32,6 +32,7 @@ def test_seed_changes_image(pipe):
     np.testing.assert_array_equal(a, c)   # deterministic per seed
 
 
+@pytest.mark.slow
 def test_task_surface(pipe):
     for task in ("text2image", "image2image", "imagetext2image",
                  "video2image", "audio2image", "x2image"):
@@ -39,6 +40,7 @@ def test_task_surface(pipe):
         assert img.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_cli_writes_image(tmp_path):
     out = str(tmp_path / "img.png")
     rc = cli.main(["--task", "text2image", "--prompt", "a cat",
@@ -50,6 +52,7 @@ def test_cli_writes_image(tmp_path):
     assert img.size == (64, 64)
 
 
+@pytest.mark.slow
 def test_cli_requires_prompt():
     rc = cli.main(["--task", "text2image", "--random-weights", "tiny"])
     assert rc == 2
@@ -60,6 +63,7 @@ def test_cli_requires_checkpoints_without_random():
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_lightcontrol_inference(pipe):
     """Attach tiny ControlNeXt branches and generate with a control image
     (instruction-editing inference path)."""

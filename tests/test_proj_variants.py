@@ -7,7 +7,10 @@ import numpy as np
 import pytest
 
 from x2i_tpu.models.proj_variants import (LegacyProj, LegacyProjConfig,
+
                                           MLPProj, TransformerProj)
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("depth,deep", [(3, False), (3, True), (6, False)])

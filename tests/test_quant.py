@@ -1,5 +1,7 @@
 """int8 weight-only quantization: tree rewrite + quantized FLUX parity."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,7 @@ def test_quantize_kernel_stacked(rng):
     assert q.shape == (3, 8, 16) and s.shape == (3, 16)
 
 
+@pytest.mark.slow
 def test_quantized_flux_matches_fp(rng):
     cfg = tiny_flux_config()
     qcfg = tiny_flux_config(quantized=True)
@@ -71,6 +74,7 @@ def test_quantized_param_structure(rng):
     assert db["img_q"]["scale"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_w8a8_flux_matches_fp(rng):
     """Dynamic-activation int8 matmuls still track the fp model."""
     cfg = tiny_flux_config()

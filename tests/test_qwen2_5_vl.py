@@ -14,8 +14,11 @@ from x2i_tpu.core.config import Qwen2Config
 from x2i_tpu.data.qwen_vision import (get_rope_index, prepare_vision_inputs,
                                       preprocess_image, smart_resize)
 from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig, Qwen2_5_VLEncoder,
+
                                        QwenVisionConfig,
                                        QwenVisionTransformer, mrope_tables)
+
+pytestmark = pytest.mark.slow
 
 VIS_KW = dict(depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
               patch_size=4, spatial_merge_size=2, temporal_patch_size=2,

@@ -7,6 +7,8 @@ import pytest
 from x2i_tpu.train.harness import build_tiny_distill
 from x2i_tpu.train.runner import TrainLoop
 
+pytestmark = pytest.mark.slow
+
 
 def _batches(batch):
     while True:

@@ -109,6 +109,7 @@ def test_chunk_bias():
     assert (b1[5, 2:] == 0).all() and (b1[5, :2] < -1e29).all()
 
 
+@pytest.mark.slow
 def test_pipeline_serving_integration():
     """BatchingServer over the real pipeline: concurrent prompts get their
     own images through one batched jitted generate."""

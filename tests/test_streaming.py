@@ -1,5 +1,7 @@
 """Streaming session: chunked prefill + incremental generate vs one-shot."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,8 @@ import numpy as np
 from x2i_tpu.core.config import tiny_qwen2_config
 from x2i_tpu.models.qwen2 import Qwen2LM
 from x2i_tpu.streaming import StreamingSession, make_qwen2_session
+
+pytestmark = pytest.mark.slow
 
 
 def _toy_tokenizer():

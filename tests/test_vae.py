@@ -1,12 +1,16 @@
 """VAE structural tests (tiny config): shapes, scale/shift convention,
 encode determinism/sampling, postprocess range."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from x2i_tpu.core.config import VAEConfig
 from x2i_tpu.models.vae import AutoencoderKL, postprocess, preprocess
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_vae():
