@@ -70,6 +70,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
+    # NOTE (round 2): an MXU row-sum (p @ ones) for l was tried and is a
+    # measured LOSS at D=128 — the PV matmul already fills all 128 MXU
+    # lanes, so the ones-column costs a full extra pass (0.569 vs 0.602
+    # img/s end-to-end). The VPU reduction stays.
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v,
                 preferred_element_type=jnp.float32) / l
