@@ -547,6 +547,10 @@ def dvae_params_from_reference(sd: Mapping, prefix: str = "dvae.") -> Dict:
     }
     for g in (0, 1):
         base = prefix + f"vq_layer.quantizer.rvqs.{g}."
+        if base + "project_in.weight" not in sd:
+            # checkpoints with vq_layer stripped (decode-from-features
+            # use, e.g. goldens without vector_quantize_pytorch)
+            continue
         p["vq"][f"project_in_{g}"] = {
             "kernel": _lin(sd, base + "project_in.weight"),
             "bias": _np(sd[base + "project_in.bias"])}

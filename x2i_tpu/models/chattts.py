@@ -410,6 +410,11 @@ def make_generation_kv_mask(cfg: ChatTTSConfig, text_mask: jnp.ndarray,
         text_mask, (prefix, kv_len - prefix - reserved),
         constant_values=True)[pos]
     mask = jnp.where(in_text, text_ok, True)
+    # the [Ptts] audio-bos slot (prefix + reserved) is permanently
+    # invisible: the reference's invisible-text range runs to
+    # reserved + 1 + num_spk + 1 (make_streaming_chunk_mask_generation,
+    # modeling_minicpmo.py:2513-2520), which always covers it
+    mask = mask & (pos != prefix + reserved)
     # nothing beyond the current sequence
     mask = mask & (pos <= (past_seen if seq_end is None else seq_end))
     return mask[None, :]
