@@ -60,11 +60,11 @@ def main():
     # Sweep knobs (driver uses the defaults): X2I_BENCH_QUANT=w8|w8a8,
     # X2I_BENCH_BATCH=N, X2I_BENCH_PX=512|1024.
     # w8a8 (int8 MXU matmuls, dynamic per-token activation scales) is the
-    # headline mode: 0.60 img/s vs 0.44 for w8 on a v5e chip. Activation
-    # quant drift measured at corr 0.967 on the final 4-step latent with
-    # RANDOM weights (the adversarial case); trained-weight W8A8 DiT
-    # inference is established as near-lossless. X2I_BENCH_QUANT=w8 to
-    # bench the weight-only mode.
+    # headline mode: 0.60 img/s vs 0.44 for w8 on a v5e chip. Quality:
+    # at realistic weight/activation statistics the 4-step final-latent
+    # drift is corr 0.9999 / rel 1.6% (tools/quant_quality.py; the early
+    # corr-0.967 figure came from adversarial iota-pattern weights).
+    # X2I_BENCH_QUANT=w8 to bench the weight-only mode.
     quant = os.environ.get("X2I_BENCH_QUANT", "w8a8")
     batch = int(os.environ.get("X2I_BENCH_BATCH", "1"))
     px = int(os.environ.get("X2I_BENCH_PX", "1024"))
