@@ -13,7 +13,9 @@ TPU equivalents:
   * the Ray/rpyc remote-fetch tier maps to a local multiprocessing worker
     pool (MultiprocessLoader) feeding the same queue — same role
     (parallel decode/tokenize off the trainer thread) without the torch/ray
-    dependency.
+    dependency. For genuinely cross-machine fetch (CPU fleet -> TPU host)
+    see data/remote.py, which speaks the reference's index/result-queue
+    protocol over plain TCP.
 """
 
 from __future__ import annotations
