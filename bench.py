@@ -60,7 +60,8 @@ def main():
     # Sweep knobs (driver uses the defaults): X2I_BENCH_QUANT=w8|w8a8,
     # X2I_BENCH_BATCH=N, X2I_BENCH_PX=512|1024.
     # w8a8 (int8 MXU matmuls, dynamic per-token activation scales) is the
-    # headline mode: 0.60 img/s vs 0.44 for w8 on a v5e chip. Quality:
+    # headline mode: 0.65 img/s vs 0.48 for w8 on a v5e chip (half rope
+    # layout; X2I_BENCH_ROPE=interleaved for the diffusers layout). Quality:
     # at realistic weight/activation statistics the 4-step final-latent
     # drift is corr 0.9999 / rel 1.6% (tools/quant_quality.py; the early
     # corr-0.967 figure came from adversarial iota-pattern weights).
@@ -70,8 +71,10 @@ def main():
     px = int(os.environ.get("X2I_BENCH_PX", "1024"))
     use_pallas = os.environ.get("X2I_BENCH_ATTN", "pallas") != "xla"
 
+    rope_layout = os.environ.get("X2I_BENCH_ROPE", "half")
     cfg = FluxConfig(quantized=quant, guidance_embeds=False,
-                     use_pallas_attention=use_pallas)
+                     use_pallas_attention=use_pallas,
+                     rope_layout=rope_layout)
     model = FluxTransformer2D(cfg)
     grid, s_txt = px // 8, 512                  # 1024^2 -> 128x128 latents
     s_img = (grid // 2) ** 2                    # 4096 image tokens

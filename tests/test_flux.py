@@ -235,3 +235,33 @@ def test_chunked_single_scan_matches_flat(rng):
                              img_ids, txt_ids, return_attn_outputs=True)
     np.testing.assert_allclose(float(kl), float(kd_loss(aux_c, aux_s, 3.0)),
                                rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_rope_layout_half_model_equivalence():
+    """Full tiny-model equivalence: permute_params_to_half_rope + the
+    rope_layout='half' forward reproduces the interleaved model."""
+    from x2i_tpu.core.config import tiny_flux_config
+    from x2i_tpu.diffusion.sampling import prepare_latent_image_ids
+    from x2i_tpu.models.flux import (FluxTransformer2D,
+                                     permute_params_to_half_rope)
+
+    cfg_i = tiny_flux_config(rope_layout="interleaved")
+    cfg_h = tiny_flux_config(rope_layout="half")
+    m_i, m_h = FluxTransformer2D(cfg_i), FluxTransformer2D(cfg_h)
+    grid, s_txt, b = 8, 8, 2
+    s_img = (grid // 2) ** 2
+    rng = np.random.default_rng(0)
+    args = (jnp.asarray(rng.standard_normal((b, s_img, cfg_i.in_channels)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (b, s_txt, cfg_i.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (b, cfg_i.pooled_projection_dim)), jnp.float32),
+            jnp.full((b,), 0.5), prepare_latent_image_ids(grid, grid),
+            jnp.zeros((s_txt, 3)))
+    params = m_i.init(jax.random.key(0), *args)
+    out_i = m_i.apply(params, *args)
+    out_h = m_h.apply(permute_params_to_half_rope(params, cfg_i), *args)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_i),
+                               atol=2e-5)

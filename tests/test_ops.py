@@ -303,3 +303,28 @@ def test_dispatcher_pad_path_respects_kv_mask(rng):
                      kv_mask=jnp.asarray(mask), implementation="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_half_rope_layout_matches_interleaved(rng):
+    """flux_rope_freqs_half + apply_rope_half on half_layout_perm-permuted
+    channels == permuted apply_rope_interleaved: the q.k scores (and so
+    attention outputs) are invariant to the shared permutation."""
+    from x2i_tpu.ops.rope import (apply_rope_half, apply_rope_interleaved,
+                                  flux_rope_freqs, flux_rope_freqs_half,
+                                  half_layout_perm)
+
+    axes = (8, 12, 12)
+    D = sum(axes)
+    S, H = 10, 3
+    ids = jnp.asarray(rng.integers(0, 50, (S, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, S, H, D)), jnp.float32)
+
+    cos_i, sin_i = flux_rope_freqs(ids, axes)
+    want = apply_rope_interleaved(x, cos_i[:, None, :], sin_i[:, None, :])
+
+    perm = half_layout_perm(D)
+    cos_h, sin_h = flux_rope_freqs_half(ids, axes)
+    got = apply_rope_half(x[..., perm], cos_h, sin_h)
+
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want)[..., perm], atol=1e-6)

@@ -1,0 +1,174 @@
+"""Profile the headline 4-step generate and print the device-time breakdown.
+
+Runs one warm iteration of bench.py's exact program under
+jax.profiler.trace, then parses the perfetto trace the TPU runtime wrote
+and aggregates device-op durations by kernel family (attention kernels,
+int8 matmuls, VAE convs, elementwise glue...). This answers "where would
+the next millisecond come from" without eyeballing TensorBoard.
+
+Usage: python tools/profile_generate.py [--px 512|1024]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def build_generate(px: int, quant: str = "w8a8",
+                   rope_layout: str = "interleaved"):
+    from x2i_tpu.core.config import FluxConfig, SchedulerConfig, VAEConfig
+    from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
+                                   prepare_latent_image_ids, unpack_latents)
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.vae import AutoencoderKL
+    from __graft_entry__ import _full_size_quantized_flux_params
+
+    cfg = FluxConfig(quantized=quant, guidance_embeds=False,
+                     rope_layout=rope_layout)
+    model = FluxTransformer2D(cfg)
+    grid, s_txt = px // 8, 512
+    s_img = (grid // 2) ** 2
+    params = _full_size_quantized_flux_params(model, cfg, s_img, s_txt)
+
+    vcfg = VAEConfig()
+    vae = AutoencoderKL(vcfg)
+    vae_params = vae.init(
+        jax.random.key(0), jnp.zeros((1, grid, grid, vcfg.latent_channels),
+                                     jnp.bfloat16), method=vae.decode)
+
+    sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+    sigmas = sched.inference_sigmas(4)
+    img_ids = prepare_latent_image_ids(grid, grid)
+    txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
+
+    def generate(params, vae_params, noise, prompt, pooled):
+        def model_fn(lat, pr, po, t, iid, tid, g):
+            return model.apply(params, lat, pr, po, t, iid, tid)
+        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
+                      txt_ids)
+        lat = unpack_latents(lat, px, px)
+        return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
+                         method=vae.decode)
+
+    noise = jax.random.normal(jax.random.key(1),
+                              (1, s_img, cfg.in_channels), jnp.bfloat16)
+    prompt = jax.random.normal(jax.random.key(2),
+                               (1, s_txt, cfg.joint_attention_dim),
+                               jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(3),
+                               (1, cfg.pooled_projection_dim), jnp.bfloat16)
+    args = (params, vae_params, noise, prompt, pooled)
+    compiled = jax.jit(generate).lower(*args).compile()
+    return compiled, args
+
+
+_FAMILIES = [
+    ("flash-attn (pallas)", re.compile(r"flash|attention_kernel|custom-call", re.I)),
+    ("int8 matmul (dense path)", re.compile(r"quant|int8|s8", re.I)),
+    ("matmul/conv (bf16)", re.compile(r"convolution|dot|cudnn|conv", re.I)),
+    ("copies/transposes", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
+    ("fusions (elementwise glue)", re.compile(r"fusion|loop_", re.I)),
+]
+
+
+def classify(name: str) -> str:
+    for label, pat in _FAMILIES:
+        if pat.search(name):
+            return label
+    return "other"
+
+
+def parse_trace(trace_dir: str):
+    paths = glob.glob(os.path.join(
+        trace_dir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # find device-lane pids (TensorCore lanes carry the op stream)
+    device_pids = {e["pid"] for e in events
+                   if e.get("ph") == "M" and e.get("name") == "process_name"
+                   and "TPU" in str(e.get("args", {}).get("name", ""))}
+    # Exclusive (self) time: events nest (jit module > while bodies >
+    # fusions); walk each lane's interval stack and subtract child time
+    # from the enclosing parent so totals do not double-count.
+    lanes = collections.defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("Steam") or "Infeed" in name:
+            continue
+        lanes[(e["pid"], e.get("tid"))].append(
+            (float(e["ts"]), float(e.get("dur", 0.0)), name))
+
+    per_op = collections.Counter()
+    per_family = collections.Counter()
+    total = 0.0
+    for lane in lanes.values():
+        lane.sort(key=lambda t: (t[0], -t[1]))
+        stack = []                      # [end_ts, name, own_dur, child_dur]
+
+        def pop(upto):
+            nonlocal total
+            while stack and stack[-1][0] <= upto + 1e-9:
+                end, nm, own, child = stack.pop()
+                if stack:
+                    stack[-1][3] += own
+                self_us = max(own - child, 0.0)
+                per_op[nm] += self_us
+                per_family[classify(nm)] += self_us
+                total += self_us
+
+        for ts, dur, name in lane:
+            pop(ts)
+            stack.append([ts + dur, name, dur, 0.0])
+        pop(float("inf"))
+    return per_op, per_family, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--px", type=int, default=1024)
+    ap.add_argument("--quant", default="w8a8")
+    ap.add_argument("--rope", default="interleaved")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    compiled, a = build_generate(args.px, args.quant, args.rope)
+    out = compiled(*a)
+    out.block_until_ready()                     # warm
+
+    trace_dir = tempfile.mkdtemp(prefix="x2i_prof_")
+    with jax.profiler.trace(trace_dir):
+        t0 = time.perf_counter()
+        out = compiled(*a)
+        out.block_until_ready()
+        wall = time.perf_counter() - t0
+    print(f"wall: {wall*1e3:.1f} ms   ({args.px}^2, {args.quant})")
+
+    per_op, per_family, total = parse_trace(trace_dir)
+    print(f"device op time: {total/1e3:.1f} ms")
+    print("\n-- by family " + "-" * 40)
+    for fam, dur in per_family.most_common():
+        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {fam}")
+    print(f"\n-- top {args.top} ops " + "-" * 36)
+    for name, dur in per_op.most_common(args.top):
+        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -493,6 +493,9 @@ def flux_params_from_diffusers(sd: Mapping, cfg: FluxConfig) -> Dict:
         params["guidance_embedder"] = {
             "in_layer": lin("time_text_embed.guidance_embedder.linear_1"),
             "out_layer": lin("time_text_embed.guidance_embedder.linear_2")}
+    if cfg.rope_layout == "half":
+        from x2i_tpu.models.flux import permute_params_to_half_rope
+        params = permute_params_to_half_rope(params, cfg)
     return params
 
 

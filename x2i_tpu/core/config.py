@@ -48,6 +48,15 @@ class FluxConfig:
                                      # checkpointing of the 38-deep stack;
                                      # params reshape to (chunks, per, ...))
     use_pallas_attention: bool = True
+    rope_layout: str = "half"        # "half" (rotate-half with q/k channels
+                                     # permuted per head — identical
+                                     # attention output, TPU-friendly
+                                     # contiguous rotation, +8% e2e; see
+                                     # ops/rope.py half_layout_perm; the
+                                     # diffusers converter permutes weights
+                                     # automatically) | "interleaved"
+                                     # (diffusers pair rotation, for
+                                     # layout-pinned checkpoints)
     quantized: Any = False           # False | True/"w8" (int8 weights) |
                                      # "w8a8" (int8 weights + dynamic
                                      # per-token activations on the MXU)

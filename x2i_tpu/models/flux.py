@@ -34,7 +34,8 @@ from x2i_tpu.core.config import FluxConfig
 from x2i_tpu.ops.attention import attention
 from x2i_tpu.ops.norms import layer_norm, rms_norm
 from x2i_tpu.ops.quant import make_dense
-from x2i_tpu.ops.rope import apply_rope_interleaved, flux_rope_freqs
+from x2i_tpu.ops.rope import (apply_rope_half, apply_rope_interleaved,
+                              flux_rope_freqs, flux_rope_freqs_half)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
@@ -82,6 +83,22 @@ class QKNorm(nn.Module):
 def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
               scale: jnp.ndarray) -> jnp.ndarray:
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _apply_rope(cfg, x: jnp.ndarray, rope) -> jnp.ndarray:
+    """x: (B, S, H, D); rope: (cos, sin) each (S, D) in cfg.rope_layout.
+
+    The half layout assumes q/k projection channels (and qk-norm scales)
+    are stored permuted by ops/rope.py::half_layout_perm — converters do
+    this; attention outputs are identical in either layout. The rotate-
+    half form is contiguous in the lane dim, so on TPU it fuses into the
+    surrounding elementwise work instead of forcing the f32 layout copies
+    the interleaved pair-stack does (measured: tools/profile_generate.py).
+    """
+    cos, sin = rope
+    if cfg.rope_layout == "half":
+        return apply_rope_half(x, cos, sin)
+    return apply_rope_interleaved(x, cos[:, None, :], sin[:, None, :])
 
 
 def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
@@ -163,9 +180,8 @@ class FluxDoubleBlock(nn.Module):
         q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
         k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
-        cos, sin = rope
-        q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
-        k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+        q = _apply_rope(cfg, q, rope)
+        k = _apply_rope(cfg, k, rope)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
         attn = attention(q, k, v, implementation=impl)
@@ -236,9 +252,8 @@ class FluxSingleBlock(nn.Module):
             dense(dim, "k")(x).reshape(batch, seq, heads, head_dim))
         v = dense(dim, "v")(x).reshape(batch, seq, heads, head_dim)
 
-        cos, sin = rope
-        q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
-        k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+        q = _apply_rope(cfg, q, rope)
+        k = _apply_rope(cfg, k, rope)
         q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
         k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
@@ -309,7 +324,10 @@ class FluxTransformer2D(nn.Module):
                 .astype(cfg.dtype))
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-        cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope)
+        if cfg.rope_layout == "half":
+            cos, sin = flux_rope_freqs_half(ids, cfg.axes_dims_rope)
+        else:
+            cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope)
         rope = (cos, sin)
 
         DoubleBlock = FluxDoubleBlock
@@ -456,6 +474,45 @@ class FluxTransformer2D(nn.Module):
             }
             return output, aux
         return output
+
+
+_QK_DENSE = ("q", "k", "img_q", "img_k", "txt_q", "txt_k")
+_QK_NORM = ("q_norm", "k_norm", "img_q_norm", "img_k_norm",
+            "txt_q_norm", "txt_k_norm")
+
+
+def permute_params_to_half_rope(params: dict, cfg: FluxConfig) -> dict:
+    """Interleaved-rope param tree -> half-rope layout (rope_layout="half").
+
+    Permutes the per-head output channels of every q/k projection (Dense
+    kernel/bias or QuantDense qkernel/scale/bias) and the per-channel
+    qk-norm scales by ops/rope.py::half_layout_perm. Attention outputs
+    are bit-identical in exact arithmetic — q.k scores are invariant to
+    the shared permutation and v/out are untouched.
+    """
+    import numpy as np
+
+    from x2i_tpu.ops.rope import half_layout_perm
+
+    d = cfg.attention_head_dim
+    perm = half_layout_perm(d)
+    full = np.concatenate([h * d + perm
+                           for h in range(cfg.num_attention_heads)])
+
+    def walk(tree):
+        out = {}
+        for key, sub in tree.items():
+            if key in _QK_DENSE:
+                out[key] = {n: leaf[..., full] for n, leaf in sub.items()}
+            elif key in _QK_NORM:
+                out[key] = {n: leaf[..., perm] for n, leaf in sub.items()}
+            elif isinstance(sub, dict):
+                out[key] = walk(sub)
+            else:
+                out[key] = sub
+        return out
+
+    return walk(params)
 
 
 def chunk_single_scan_params(params: dict, chunks: int) -> dict:

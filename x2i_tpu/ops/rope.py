@@ -67,6 +67,45 @@ def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
     return out.astype(orig_dtype)
 
 
+def flux_rope_freqs_half(ids: jnp.ndarray,
+                         axes_dim: Sequence[int],
+                         theta: float = 10000.0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FLUX 3-axis cos/sin in the HALF (rotate-half) channel layout.
+
+    The interleaved pair (2m, 2m+1) maps to (m, D/2+m) under
+    ``half_layout_perm``; both members share the pair's angle, so the
+    half-layout table is the per-axis pair base concatenated across axes
+    and then duplicated: cos_half = cat(base, base) with
+    base[m] == cos_interleaved[2m]. Using it with ``apply_rope_half`` on
+    permuted q/k reproduces the interleaved rotation exactly (the q.k
+    scores are invariant to the shared channel permutation).
+    """
+    ids = ids.astype(jnp.float32)
+    angs = []
+    for i, dim in enumerate(axes_dim):
+        pos = ids[:, i]
+        freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2,
+                                            dtype=jnp.float32) / dim))
+        angs.append(pos[:, None] * freqs[None, :])           # (S, dim/2)
+    ang = jnp.concatenate(angs, axis=-1)                     # (S, D/2)
+    ang = jnp.concatenate([ang, ang], axis=-1)               # (S, D)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def half_layout_perm(head_dim: int):
+    """Channel permutation taking interleaved-layout weights to half
+    layout: new[m] = old[2m], new[D/2 + m] = old[2m + 1].
+
+    Apply to the per-head output channels of the q/k projections (and any
+    per-channel q/k norm scales); attention outputs are unchanged because
+    the permutation is shared between q and k.
+    """
+    import numpy as np
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
 def rope_freqs_half(positions: jnp.ndarray, head_dim: int,
                     theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LLaMA/Qwen2 convention: cos/sin tables tiled as cat(freqs, freqs).
@@ -94,9 +133,13 @@ def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray,
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     d2 = x.shape[-1] // 2
-    rot = jnp.concatenate([-xf[..., d2:], xf[..., :d2]], axis=-1)
     # insert the head axis: (S, D) -> (S, 1, D); (B, S, D) -> (B, S, 1, D)
     cos = jnp.expand_dims(cos, -2)
     sin = jnp.expand_dims(sin, -2)
-    out = xf * cos + rot * sin
+    # compute the two output halves directly (no materialized rotate_half
+    # operand — the concat is an output fusion; cos/sin halves are equal
+    # by construction)
+    x1, x2 = xf[..., :d2], xf[..., d2:]
+    c, s = cos[..., :d2], sin[..., :d2]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(orig_dtype)
