@@ -58,12 +58,13 @@ def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray,
       cos, sin: (S, D) from flux_rope_freqs.
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    x_even = xf[..., 0::2]
-    x_odd = xf[..., 1::2]
-    # rotated vector has (-x_odd, x_even) interleaved back
-    rot = jnp.stack([-x_odd, x_even], axis=-1).reshape(xf.shape)
-    out = xf * cos + rot * sin
+    # strided-slice first in the original dtype (see apply_rope_half: a
+    # whole-tensor f32 convert becomes a materialized f32 fusion root)
+    x_even = x[..., 0::2].astype(jnp.float32)
+    x_odd = x[..., 1::2].astype(jnp.float32)
+    c, s = cos[..., 0::2], sin[..., 0::2]   # pair members share the angle
+    out = jnp.stack([x_even * c - x_odd * s,
+                     x_odd * c + x_even * s], axis=-1).reshape(x.shape)
     return out.astype(orig_dtype)
 
 
@@ -131,15 +132,19 @@ def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray,
       cos, sin: (B, S, D) or (S, D); broadcast over heads.
     """
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
     d2 = x.shape[-1] // 2
     # insert the head axis: (S, D) -> (S, 1, D); (B, S, D) -> (B, S, 1, D)
     cos = jnp.expand_dims(cos, -2)
     sin = jnp.expand_dims(sin, -2)
-    # compute the two output halves directly (no materialized rotate_half
-    # operand — the concat is an output fusion; cos/sin halves are equal
-    # by construction)
-    x1, x2 = xf[..., :d2], xf[..., d2:]
+    # Slice in the original dtype and convert the halves inside the
+    # multiply: converting the whole tensor first makes XLA materialize an
+    # f32 copy of x as the producer-fusion root (2x HBM traffic); slicing
+    # first keeps any materialized intermediate in orig dtype and the f32
+    # converts live inside this fusion. The two output halves are computed
+    # directly (no rotate_half operand — the concat is an output fusion;
+    # cos/sin halves are equal by construction).
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
     c, s = cos[..., :d2], sin[..., :d2]
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(orig_dtype)
