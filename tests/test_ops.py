@@ -328,3 +328,74 @@ def test_half_rope_layout_matches_interleaved(rng):
 
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(want)[..., perm], atol=1e-6)
+
+
+def _rope_tables(rng, S, D):
+    from x2i_tpu.ops.rope import flux_rope_freqs_half
+    ids = jnp.asarray(rng.integers(0, 50, (S, 3)), jnp.float32)
+    d3 = D // 4
+    return flux_rope_freqs_half(ids, (D - 2 * d3, d3, d3))
+
+
+def _preapply_bhsd(x, cos, sin):
+    from x2i_tpu.ops.rope import apply_rope_half
+    return jnp.swapaxes(apply_rope_half(jnp.swapaxes(x, 1, 2), cos, sin),
+                        1, 2)
+
+
+def test_flash_kernel_rope_matches_preapplied(rng):
+    """In-kernel rope (rotate-half via lane roll + signed sin, K rotated
+    once per head into scratch) == rope applied in XLA before the kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, H, S, D = 1, 2, 256, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+    with pltpu.force_tpu_interpret_mode():
+        got = fa.flash_attention(q, k, v, rope=(cos, sin))
+        want = fa.flash_attention(_preapply_bhsd(q, cos, sin),
+                                  _preapply_bhsd(k, cos, sin), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_flash_kernel_rope_grads_match(rng):
+    """Backward through the rope-fused kernel: cotangents are counter-
+    rotated through the orthogonal transpose map."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, H, S, D = 1, 2, 128, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, rope=(cos, sin)) ** 2)
+
+    def loss_pre(q, k, v):
+        return jnp.sum(fa.flash_attention(_preapply_bhsd(q, cos, sin),
+                                          _preapply_bhsd(k, cos, sin),
+                                          v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss_pre, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-4)
+
+
+def test_dispatcher_rope_pad_path(rng):
+    """attention(rope=...) through the pad-and-mask dispatcher (odd S)
+    == XLA path with rope pre-applied."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, S, H, D = 1, 200, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+    with pltpu.force_tpu_interpret_mode():
+        got = attention(q, k, v, rope=(cos, sin), implementation="pallas")
+    want = attention(q, k, v, rope=(cos, sin), implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)

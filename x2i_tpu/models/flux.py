@@ -34,8 +34,8 @@ from x2i_tpu.core.config import FluxConfig
 from x2i_tpu.ops.attention import attention
 from x2i_tpu.ops.norms import layer_norm, rms_norm
 from x2i_tpu.ops.quant import make_dense
-from x2i_tpu.ops.rope import (apply_rope_half, apply_rope_interleaved,
-                              flux_rope_freqs, flux_rope_freqs_half)
+from x2i_tpu.ops.rope import (apply_rope_interleaved, flux_rope_freqs,
+                              flux_rope_freqs_half)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
@@ -85,20 +85,25 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _apply_rope(cfg, x: jnp.ndarray, rope) -> jnp.ndarray:
-    """x: (B, S, H, D); rope: (cos, sin) each (S, D) in cfg.rope_layout.
+def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
+    """RoPE + joint attention. q/k/v: (B, S, H, D); rope: (cos, sin) each
+    (S, D) in cfg.rope_layout.
 
     The half layout assumes q/k projection channels (and qk-norm scales)
     are stored permuted by ops/rope.py::half_layout_perm — converters do
     this; attention outputs are identical in either layout. The rotate-
     half form is contiguous in the lane dim, so on TPU it fuses into the
     surrounding elementwise work instead of forcing the f32 layout copies
-    the interleaved pair-stack does (measured: tools/profile_generate.py).
-    """
+    the interleaved pair-stack does, and the rotation is pushed into the
+    Pallas flash kernel itself (ops/attention.py rope=), removing the
+    XLA-side rope read+write of q/k entirely (measured:
+    tools/profile_generate.py)."""
     cos, sin = rope
     if cfg.rope_layout == "half":
-        return apply_rope_half(x, cos, sin)
-    return apply_rope_interleaved(x, cos[:, None, :], sin[:, None, :])
+        return attention(q, k, v, implementation=impl, rope=(cos, sin))
+    q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+    return attention(q, k, v, implementation=impl)
 
 
 def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
@@ -180,11 +185,9 @@ class FluxDoubleBlock(nn.Module):
         q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
         k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
-        q = _apply_rope(cfg, q, rope)
-        k = _apply_rope(cfg, k, rope)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
-        attn = attention(q, k, v, implementation=impl)
+        attn = _roped_attention(cfg, q, k, v, rope, impl)
         attn = attn.reshape(batch, s_txt + s_img, dim)
         txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
@@ -252,14 +255,12 @@ class FluxSingleBlock(nn.Module):
             dense(dim, "k")(x).reshape(batch, seq, heads, head_dim))
         v = dense(dim, "v")(x).reshape(batch, seq, heads, head_dim)
 
-        q = _apply_rope(cfg, q, rope)
-        k = _apply_rope(cfg, k, rope)
         q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
         k = _shard(k, cfg, ("data", "fsdp"), None, "tensor", None)
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
-        attn = attention(q, k, v, implementation=impl)
+        attn = _roped_attention(cfg, q, k, v, rope, impl)
         attn = attn.reshape(batch, seq, dim)
 
         mlp = nn.gelu(dense(mlp_dim, "mlp_in")(x))

@@ -27,7 +27,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               scale: Optional[float] = None,
               bias: Optional[jnp.ndarray] = None,
               implementation: str = "auto",
-              causal_offset=0) -> jnp.ndarray:
+              causal_offset=0,
+              rope=None) -> jnp.ndarray:
     """Multi-head (optionally grouped-query) attention.
 
     Args:
@@ -41,21 +42,23 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         against a KV cache (may be traced). Forces the XLA path when
         nonzero.
       implementation: 'auto' | 'pallas' | 'xla'.
+      rope: optional (cos, sin) HALF-layout rotary tables, each (S, D)
+        f32 (flux_rope_freqs_half), applied to both q and k. On the
+        Pallas path (joint attention, Sq == Skv, non-causal) the rotation
+        happens inside the kernel so un-roped projections feed it
+        directly; otherwise it is applied here before dispatch.
 
     Returns:
       (B, Sq, Hq, D) in q.dtype.
     """
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    b, _, sq, d = qt.shape
-    skv = kt.shape[2]
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
 
     offset_static_zero = isinstance(causal_offset, int) and causal_offset == 0
     pallas_ok = bias is None and offset_static_zero and (
         implementation == "pallas" or (
             implementation == "auto" and _platform() not in ("cpu",)))
-    use_pallas = pallas_ok and fa.supported(qt.shape, skv)
+    use_pallas = pallas_ok and fa.supported((b, hq, sq, d), skv)
 
     # pad-and-mask path: the kernel needs S % 128 == 0; odd joint lengths
     # (e.g. 832^2..960^2 latent grids -> 3216..4112 tokens) previously fell
@@ -63,20 +66,38 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # kv with masked-out keys instead. Non-causal only: end-padding both
     # sides would shift the kernel's causal diagonal alignment.
     pad_q, pad_kv = (-sq) % 128, (-skv) % 128
-    if (not use_pallas and pallas_ok and not causal
-            and d in (64, 128, 256) and (pad_q or pad_kv)
-            and fa.supported((b, qt.shape[1], sq + pad_q, d),
-                             skv + pad_kv)):
+    pad_path = (not use_pallas and pallas_ok and not causal
+                and d in (64, 128, 256) and (pad_q or pad_kv)
+                and fa.supported((b, hq, sq + pad_q, d), skv + pad_kv))
+
+    kernel_rope = (rope is not None and (use_pallas or pad_path)
+                   and sq == skv and not causal)
+    if rope is not None and not kernel_rope:
+        from x2i_tpu.ops.rope import apply_rope_half
+        cos, sin = rope
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        rope = None
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    if pad_path:
         qp = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
         kp = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
         vp = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
         mask = kv_mask if kv_mask is not None else jnp.ones((b, skv), bool)
         mask = jnp.pad(mask.astype(bool), ((0, 0), (0, pad_kv)))
+        if rope is not None:
+            # zero-padded table rows rotate pad rows to zero — harmless:
+            # pad keys are masked out, pad q rows are sliced off below
+            rope = tuple(jnp.pad(t, ((0, pad_kv), (0, 0))) for t in rope)
         out = fa.flash_attention(qp, kp, vp, kv_mask=mask, causal=False,
-                                 scale=scale)[:, :, :sq]
+                                 scale=scale, rope=rope)[:, :, :sq]
     elif use_pallas:
         out = fa.flash_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
-                                 scale=scale)
+                                 scale=scale, rope=rope)
     else:
         out = fa.xla_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
                                scale=scale, bias=bias,

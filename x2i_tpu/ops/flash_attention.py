@@ -57,16 +57,74 @@ def _apply_masks(s, mask, causal, row_offset, col_offset):
     return s
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                  scale: float, causal: bool, block_q: int):
-    """One (batch, q-head, q-block) program; full KV rows resident."""
-    q = q_ref[0, 0]                                      # (BQ, D)
-    k = k_ref[0, 0]                                      # (Skv, D)
-    v = v_ref[0, 0]                                      # (Skv, D)
+def _rope_signed_sin(sin: jnp.ndarray) -> jnp.ndarray:
+    """Fold the rotate-half sign pattern into the sin table so the kernel's
+    rotation is one lane-roll + two multiplies: with sin' = cat(-s, s),
+    rope(x) = x * cos + roll(x, D/2) * sin'  (roll by half is self-inverse,
+    so the roll direction does not matter)."""
+    d2 = sin.shape[-1] // 2
+    return jnp.concatenate([-sin[..., :d2], sin[..., d2:]], axis=-1)
 
-    s = _logits(q, k, scale * LOG2_E)                    # (BQ, Skv) f32·lg e
+
+def _rope_bhsd(x: jnp.ndarray, cos: jnp.ndarray,
+               sin_signed: jnp.ndarray) -> jnp.ndarray:
+    """Half-layout rope on (B, H, S, D) with (S, D) tables (sign folded).
+    XLA-side mirror of the in-kernel rotation, used by the chunked/backward
+    fallbacks. Its transpose (for cotangents) is x*cos + roll(x*sin')."""
+    d2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    out = xf * cos + jnp.roll(xf, d2, axis=-1) * sin_signed
+    return out.astype(x.dtype)
+
+
+def _rope_bhsd_T(x: jnp.ndarray, cos: jnp.ndarray,
+                 sin_signed: jnp.ndarray) -> jnp.ndarray:
+    """Transpose (= inverse, the map is orthogonal) of _rope_bhsd."""
+    d2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    out = xf * cos + jnp.roll(xf * sin_signed, d2, axis=-1)
+    return out.astype(x.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
+                  lse_ref, krot_ref, *,
+                  scale: float, causal: bool, block_q: int):
+    """One (batch, q-head, q-block) program; full KV rows resident.
+
+    When cos/sin refs are given (FLUX joint attention), the half-layout
+    rotary embedding is applied in-kernel: K is rotated once per (b, h)
+    into a VMEM scratch (the TPU grid is sequential, scratch persists
+    across the q-block axis), the q tile per program. This keeps the
+    pre-rope projections as the only HBM form of q/k — the XLA-side rope
+    pass and its extra read+write of both tensors disappear. The softmax
+    scale (and the exp2 log2 e factor) is folded into the q tile here,
+    saving a full (BQ, Skv) f32 multiply per program."""
+    i = pl.program_id(2)
+    v = v_ref[0, 0]                                      # (Skv, D)
+    if cos_ref is not None:
+        d2 = q_ref.shape[-1] // 2
+
+        @pl.when(i == 0)
+        def _():
+            kf = k_ref[0, 0].astype(jnp.float32)
+            krot_ref[...] = (kf * cos_ref[...] +
+                             pltpu.roll(kf, d2, 1) * sin_ref[...]
+                             ).astype(krot_ref.dtype)
+
+        k = krot_ref[...]
+        qf = q_ref[0, 0].astype(jnp.float32)
+        cq = cos_ref[pl.ds(i * block_q, block_q), :]
+        sq = sin_ref[pl.ds(i * block_q, block_q), :]
+        q = ((qf * cq + pltpu.roll(qf, d2, 1) * sq) * (scale * LOG2_E)
+             ).astype(q_ref.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    else:
+        q = q_ref[0, 0]                                  # (BQ, D)
+        k = k_ref[0, 0]                                  # (Skv, D)
+        s = _logits(q, k, scale * LOG2_E)                # (BQ, Skv) f32·lg e
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
-                     pl.program_id(2) * block_q, 0)
+                     i * block_q, 0)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
@@ -83,8 +141,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
 
 
 def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
-                   block_q: int = 256, return_lse: bool = False):
-    """q: (B, Hq, Sq, D); k, v: (B, Hk, Skv, D); kv_mask: (B, Skv) bool|None."""
+                   block_q: int = 256, return_lse: bool = False,
+                   rope=None):
+    """q: (B, Hq, Sq, D); k, v: (B, Hk, Skv, D); kv_mask: (B, Skv) bool|None.
+    rope: optional (cos, sin_signed), each (Skv, D) f32 half-layout tables
+    (sign already folded, see _rope_signed_sin); requires Sq == Skv."""
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
@@ -100,6 +161,13 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
+    has_rope = rope is not None
+    if has_rope:
+        assert sq == skv, "in-kernel rope assumes joint (Sq == Skv) attention"
+        for tab in rope:
+            in_specs.append(pl.BlockSpec((skv, d), lambda b, h, i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(tab)
     has_mask = kv_mask is not None
     if has_mask:
         # rank-3 (B, 1, Skv) so both trailing block dims equal the array's
@@ -122,16 +190,23 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
                                       memory_space=pltpu.VMEM))
 
     def kernel(*refs):
-        if has_mask and return_lse:
-            qr, kr, vr, mr, orf, lr = refs
-        elif has_mask:
-            (qr, kr, vr, mr, orf), lr = refs, None
-        elif return_lse:
-            (qr, kr, vr, orf, lr), mr = refs, None
-        else:
-            (qr, kr, vr, orf), mr, lr = refs, None, None
-        _flash_kernel(qr, kr, vr, mr, orf, lr, scale=scale, causal=causal,
-                      block_q=block_q)
+        refs = list(refs)
+        qr, kr, vr = refs[:3]
+        n = 3
+        cr = sr = None
+        if has_rope:
+            cr, sr = refs[n:n + 2]
+            n += 2
+        mr = None
+        if has_mask:
+            mr = refs[n]
+            n += 1
+        orf = refs[n]
+        n += 1
+        lr = refs[n] if return_lse else None
+        krot = refs[-1] if has_rope else None
+        _flash_kernel(qr, kr, vr, cr, sr, mr, orf, lr, krot,
+                      scale=scale, causal=causal, block_q=block_q)
 
     out = pl.pallas_call(
         kernel,
@@ -139,6 +214,8 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         in_specs=in_specs,
         out_specs=tuple(out_specs) if return_lse else out_specs[0],
         out_shape=tuple(out_shape) if return_lse else out_shape[0],
+        scratch_shapes=([pltpu.VMEM((skv, d), k.dtype)] if has_rope
+                        else []),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * hq * sq * skv * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
@@ -449,26 +526,46 @@ def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
     return o.reshape(batch, hq, sq, d).astype(q.dtype)
 
 
-def _fwd_impl(q, k, v, kv_mask, causal, scale, return_lse=False):
-    if k.shape[2] > MAX_KV_SEQ:
+def _fwd_impl(q, k, v, kv_mask, rope, causal, scale, return_lse=False):
+    import os
+    bq = int(os.environ.get("X2I_FA_BLOCK_Q", "256"))
+    if k.shape[2] > MAX_KV_SEQ or os.environ.get("X2I_FA_FORCE_CHUNKED"):
+        if rope is not None:               # chunked path: pre-rope in XLA
+            cos, sin_s = rope
+            q = _rope_bhsd(q, cos, sin_s)
+            k = _rope_bhsd(k, cos, sin_s)
         return _flash_forward_chunked(q, k, v, kv_mask, causal=causal,
-                                      scale=scale, return_lse=return_lse)
+                                      scale=scale, block_q=bq,
+                                      return_lse=return_lse)
     return _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
-                          return_lse=return_lse)
+                          block_q=bq, return_lse=return_lse, rope=rope)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, kv_mask, causal, scale):
-    return _fwd_impl(q, k, v, kv_mask, causal, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash(q, k, v, kv_mask, rope, causal, scale):
+    return _fwd_impl(q, k, v, kv_mask, rope, causal, scale)
 
 
-def _flash_fwd(q, k, v, kv_mask, causal, scale):
-    o, lse = _fwd_impl(q, k, v, kv_mask, causal, scale, return_lse=True)
-    return o, (q, k, v, kv_mask, o, lse)
+def _flash_fwd(q, k, v, kv_mask, rope, causal, scale):
+    o, lse = _fwd_impl(q, k, v, kv_mask, rope, causal, scale,
+                       return_lse=True)
+    return o, (q, k, v, kv_mask, rope, o, lse)
 
 
 def _flash_bwd(causal, scale, res, do):
-    q, k, v, kv_mask, o, lse = res
+    q, k, v, kv_mask, rope, o, lse = res
+    if rope is not None:
+        # The rotation is orthogonal and position-wise: rope q/k once in
+        # XLA, push cotangents through the transpose map. cos/sin receive
+        # zero cotangents (positions are never differentiated).
+        cos, sin_s = rope
+        qr, kr = _rope_bhsd(q, cos, sin_s), _rope_bhsd(k, cos, sin_s)
+        dq, dk, dv, _, _ = _flash_bwd(causal, scale,
+                                      (qr, kr, v, kv_mask, None, o, lse),
+                                      do)
+        dq = _rope_bhsd_T(dq, cos, sin_s)
+        dk = _rope_bhsd_T(dk, cos, sin_s)
+        return dq, dk, dv, None, jax.tree.map(jnp.zeros_like, rope)
     if k.shape[2] > MAX_KV_SEQ:
         # long-sequence fallback: XLA recompute autodiff (the fused bwd
         # kernels hold full Q/do rows per kv-head in VMEM)
@@ -477,10 +574,10 @@ def _flash_bwd(causal, scale, res, do):
                                   scale=scale)
         _, vjp = jax.vjp(f, q, k, v)
         dq, dk, dv = vjp(do)
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None
     dq, dk, dv = _flash_backward(q, k, v, kv_mask, o, lse, do,
                                  causal=causal, scale=scale)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -489,12 +586,23 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     kv_mask: Optional[jnp.ndarray] = None,
                     causal: bool = False,
-                    scale: Optional[float] = None) -> jnp.ndarray:
+                    scale: Optional[float] = None,
+                    rope=None) -> jnp.ndarray:
     """Flash attention over (B, H, S, D) tensors. Differentiable (fused
-    Pallas backward)."""
+    Pallas backward).
+
+    rope: optional (cos, sin) half-layout tables, each (S, D) f32 with
+    cos = cat(c, c) / sin = cat(s, s) (flux_rope_freqs_half). The rotary
+    embedding is applied to q/k inside the kernel (Sq == Skv only) — the
+    projections' outputs go to the kernel un-roped, removing the XLA-side
+    rope pass over both tensors."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    return _flash(q, k, v, kv_mask, causal, scale)
+    if rope is not None:
+        cos, sin = rope
+        rope = (cos.astype(jnp.float32),
+                _rope_signed_sin(sin.astype(jnp.float32)))
+    return _flash(q, k, v, kv_mask, rope, causal, scale)
 
 
 def supported(q_shape, kv_seq: int) -> bool:
