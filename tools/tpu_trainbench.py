@@ -47,7 +47,11 @@ def main():
     chunks = int(os.environ.get("X2I_TRAINBENCH_CHUNKS", "2"))
     flux_cfg = FluxConfig(quantized=quant, guidance_embeds=False,
                           remat=remat if remat == "stack" else bool(remat),
-                          single_scan_chunks=chunks)
+                          single_scan_chunks=chunks,
+                          # fused-kernel rope's backward transients tip the
+                          # 12B step over HBM (train/assemble.py does the
+                          # same); the half-layout XLA rotation remains
+                          rope_in_kernel=False)
     flux = FluxTransformer2D(flux_cfg)
     s_txt = 512
     s_img = (grid // 2) ** 2

@@ -48,6 +48,11 @@ class FluxConfig:
                                      # checkpointing of the 38-deep stack;
                                      # params reshape to (chunks, per, ...))
     use_pallas_attention: bool = True
+    rope_in_kernel: bool = True      # apply the half-layout rotation inside
+                                     # the flash kernel (inference win; the
+                                     # backward adds f32 rotate transients —
+                                     # trainers may turn it off to keep the
+                                     # 12B single-chip step inside HBM)
     rope_layout: str = "half"        # "half" (rotate-half with q/k channels
                                      # permuted per head — identical
                                      # attention output, TPU-friendly

@@ -100,7 +100,12 @@ def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
     tools/profile_generate.py)."""
     cos, sin = rope
     if cfg.rope_layout == "half":
-        return attention(q, k, v, implementation=impl, rope=(cos, sin))
+        if cfg.rope_in_kernel:
+            return attention(q, k, v, implementation=impl, rope=(cos, sin))
+        from x2i_tpu.ops.rope import apply_rope_half
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        return attention(q, k, v, implementation=impl)
     q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
     k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
     return attention(q, k, v, implementation=impl)

@@ -10,6 +10,7 @@ teacher_text_fn, mesh placement (FSDP for frozen FLUX) -> TrainLoop.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Dict, Optional
 
@@ -52,7 +53,12 @@ def assemble_distill(model: str, flux_path: str, mllm_path: str,
 
     dcfg = dcfg or DistillConfig()
     entry = MODEL_REGISTRY[model]
-    flux_cfg: FluxConfig = entry["flux"]
+    # rope stays outside the flash kernel for training: the fused path's
+    # backward rotate transients cost ~60 MB of peak HBM, which tips the
+    # single-chip 12B step over the 15.75 GB budget (measured; the half
+    # layout's cheap XLA rotation is kept either way)
+    flux_cfg: FluxConfig = dataclasses.replace(entry["flux"],
+                                               rope_in_kernel=False)
     proj_cfg: ProjConfig = entry["proj"]
     mllm_cfg = entry["mllm"]
 
