@@ -130,10 +130,11 @@ def test_timestep_embedding_matches_diffusers_convention():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-@pytest.mark.parametrize("flag", ["shard_activations", "shard_sequence"])
+@pytest.mark.parametrize("flag", ["shard_activations", "shard_sequence",
+                                  "ring_sequence"])
 @pytest.mark.slow
 def test_parallel_sharding_matches_unsharded(rng, flag):
-    """TP/SP sharding constraints change placement, not math."""
+    """TP/SP/ring sharding constraints change placement, not math."""
     from x2i_tpu.core.config import MeshConfig
     from x2i_tpu.core.mesh import make_mesh
     cfg = tiny_flux_config()

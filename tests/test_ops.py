@@ -399,3 +399,27 @@ def test_dispatcher_rope_pad_path(rng):
     want = attention(q, k, v, rope=(cos, sin), implementation="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4)
+
+
+def test_ring_attention_matches_full(rng):
+    """Ring attention over a 4-device ring == full-sequence attention
+    (exact log-space merge, not an approximation)."""
+    from jax.sharding import Mesh
+
+    from x2i_tpu.ops.ring_attention import ring_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    B, S, H, D = 2, 256, 3, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "tensor"))
+    with jax.set_mesh(mesh):
+        got = jax.jit(
+            lambda q, k, v: ring_attention(q, k, v, "tensor", 4))(q, k, v)
+    want = attention(q, k, v, implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    with pytest.raises(ValueError):
+        ring_attention(q[:, :255], k[:, :255], v[:, :255], "tensor", 4)

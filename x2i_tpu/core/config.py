@@ -48,6 +48,14 @@ class FluxConfig:
                                      # checkpointing of the 38-deep stack;
                                      # params reshape to (chunks, per, ...))
     use_pallas_attention: bool = True
+    ring_sequence: bool = False      # ring attention over the mesh 'tensor'
+                                     # axis: K/V stay sequence-sharded and
+                                     # rotate via ppermute (O(S/n) per-chip
+                                     # attention memory, comm overlaps
+                                     # compute) — for >1024² multi-chip
+                                     # serving; see ops/ring_attention.py.
+                                     # Implies the shard_sequence residual
+                                     # layout; inference path only.
     rope_in_kernel: bool = True      # apply the half-layout rotation inside
                                      # the flash kernel (inference win; the
                                      # backward adds f32 rotate transients —

@@ -100,6 +100,10 @@ def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
     tools/profile_generate.py)."""
     cos, sin = rope
     if cfg.rope_layout == "half":
+        if cfg.ring_sequence:
+            from x2i_tpu.ops.rope import apply_rope_half
+            return _ring(cfg, apply_rope_half(q, cos, sin),
+                         apply_rope_half(k, cos, sin), v, impl)
         if cfg.rope_in_kernel:
             return attention(q, k, v, implementation=impl, rope=(cos, sin))
         from x2i_tpu.ops.rope import apply_rope_half
@@ -108,7 +112,21 @@ def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
         return attention(q, k, v, implementation=impl)
     q = apply_rope_interleaved(q, cos[:, None, :], sin[:, None, :])
     k = apply_rope_interleaved(k, cos[:, None, :], sin[:, None, :])
+    if cfg.ring_sequence:
+        return _ring(cfg, q, k, v, impl)
     return attention(q, k, v, implementation=impl)
+
+
+def _ring(cfg, q, k, v, impl: str) -> jnp.ndarray:
+    """Sequence-sharded ring attention over the mesh 'tensor' axis; the
+    ring size comes from the ambient mesh (jax.set_mesh context)."""
+    from jax.sharding import get_abstract_mesh
+
+    from x2i_tpu.ops.ring_attention import ring_attention
+    n = get_abstract_mesh().shape.get("tensor", 1)
+    if n <= 1:
+        return attention(q, k, v, implementation=impl)
+    return ring_attention(q, k, v, "tensor", n, implementation=impl)
 
 
 def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
@@ -123,8 +141,10 @@ def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:
 def _shard_seq(x: jnp.ndarray, cfg: FluxConfig) -> jnp.ndarray:
     """Sequence-parallel constraint on a (B, S, D) residual stream: tokens
     sharded over the 'tensor' axis between blocks; XLA all-gathers K/V for
-    the joint attention and reduce-scatters afterwards."""
-    if not cfg.shard_sequence:
+    the joint attention and reduce-scatters afterwards (shard_sequence),
+    or the KV shards stay put and rotate around the ring (ring_sequence —
+    no full-sequence K/V ever materializes)."""
+    if not (cfg.shard_sequence or cfg.ring_sequence):
         return x
     from jax.sharding import PartitionSpec as P
     return jax.lax.with_sharding_constraint(
