@@ -423,3 +423,33 @@ def test_ring_attention_matches_full(rng):
                                atol=2e-5)
     with pytest.raises(ValueError):
         ring_attention(q[:, :255], k[:, :255], v[:, :255], "tensor", 4)
+
+
+def test_ring_attention_grads_match_full(rng):
+    """Reverse-ring backward: grads of ring attention == grads of full
+    attention (dk/dv make the complete circle back to their owners)."""
+    from jax.sharding import Mesh
+
+    from x2i_tpu.ops.ring_attention import ring_attention
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    B, S, H, D = 1, 128, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, "tensor", 4) * w)
+
+    def loss_full(q, k, v):
+        return jnp.sum(attention(q, k, v, implementation="xla") * w)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "tensor"))
+    with jax.set_mesh(mesh):
+        gr = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    gf = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)

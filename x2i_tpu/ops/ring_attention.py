@@ -6,24 +6,23 @@ The GSPMD `shard_sequence` path keeps the residual stream sharded but
 XLA all-gathers K and V for every attention — peak O(S) per chip. Ring
 attention never materializes the full K/V anywhere: each device holds a
 1/n sequence shard of q/k/v, computes flash attention of its local q
-against one KV shard at a time, and merges the partial outputs in
-log-space using the kernel's per-row logsumexp while `ppermute` rotates
-the KV shards one hop around the ring. Per-chip attention memory is
-O(S/n) and the ICI transfer of the next shard overlaps the current
-block's compute (XLA schedules the async collective-permute under the
-kernel). Blockwise/ring formulation: Liu et al. 2023 (PAPERS.md §ring).
+against one rotating KV shard at a time, and merges the partial outputs
+in log-space using the kernel's per-row logsumexp while `ppermute`
+rotates the KV shards one hop around the ring — comm overlaps compute,
+per-chip attention memory is O(S/n). Blockwise/ring formulation: Liu et
+al. 2023 (PAPERS.md §ring).
+
+Differentiable: the backward runs the ring in reverse — dq accumulates
+on the q owner while (k, v, dk, dv) travel the full circle, each visit
+adding the pair-wise flash-backward contribution computed against the
+forward's global logsumexp (the same math as ops/flash_attention.py's
+fused backward, which is reused per pair on TPU). n hops total, so
+dk/dv arrive back at their owners.
 
 The reference has no analogue (its joint attention is single-GPU SDPA,
 capped at 1024²; SURVEY §5.7 "no ring attention, no context parallel")
-— this is a beyond-parity capability for multi-chip high-resolution
-serving.
-
-Forward-path op: the merge weights depend on the per-block lse, so a
-fused backward needs the reverse ring (dq/dk/dv accumulation around the
-ring); training at >1024² is outside the reference's operating envelope
-(train_minicpm.py:553-555 trains at the 128² latent grid), so autodiff
-through the Pallas path is intentionally not wired — use the GSPMD
-`shard_sequence` path for sharded training.
+— a beyond-parity capability for multi-chip high-resolution serving and
+context-parallel training.
 """
 
 from __future__ import annotations
@@ -51,17 +50,38 @@ def _attend_xla_lse(q, k, v, scale):
     return o.astype(q.dtype), (m + jnp.log2(l))[..., 0]
 
 
+def _use_pallas(q_shape, skv, implementation):
+    return (implementation != "xla"
+            and jax.default_backend() not in ("cpu",)
+            and fa.supported(q_shape, skv))
+
+
 def _attend_lse(q, k, v, scale, implementation):
     """One ring block: flash kernel when the platform/shapes allow."""
-    sq, d = q.shape[2], q.shape[3]
-    skv = k.shape[2]
-    use_pallas = (implementation != "xla"
-                  and jax.default_backend() not in ("cpu",)
-                  and fa.supported(q.shape, skv))
-    if use_pallas:
+    if _use_pallas(q.shape, k.shape[2], implementation):
         return fa._fwd_impl(q, k, v, None, None, False, scale,
                             return_lse=True)
     return _attend_xla_lse(q, k, v, scale)
+
+
+def _pair_bwd(q, k, v, o, lse, do, scale, implementation):
+    """(dq, dk, dv) contribution of one (q-shard, kv-shard) pair, given
+    the GLOBAL per-row logsumexp from the forward ring — identical math
+    to the fused flash backward, which is reused on TPU."""
+    if _use_pallas(q.shape, k.shape[2], implementation):
+        return fa._flash_backward(q, k, v, None, o, lse, do,
+                                  causal=False, scale=scale)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    dof, of = do.astype(jnp.float32), o.astype(jnp.float32)
+    s2 = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * (scale * fa.LOG2_E)
+    p = jnp.exp2(s2 - lse[..., None])                 # global-normalized
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    delta = jnp.sum(dof * of, axis=-1, keepdims=True)  # (B, H, Sq, 1)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _merge(o, lse, o2, lse2):
@@ -75,6 +95,60 @@ def _merge(o, lse, o2, lse2):
     of = (o.astype(jnp.float32) * (w1 / denom)[..., None]
           + o2.astype(jnp.float32) * (w2 / denom)[..., None])
     return of.astype(o.dtype), m + jnp.log2(denom)
+
+
+def _ring_perm(axis_size):
+    return [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+
+def _ring_fwd_core(q, k, v, axis_name, axis_size, scale, implementation):
+    o, lse = _attend_lse(q, k, v, scale, implementation)
+    if axis_size == 1:
+        return o, lse
+    perm = _ring_perm(axis_size)
+    kv = (k, v)
+    for _ in range(axis_size - 1):
+        kv = jax.lax.ppermute(kv, axis_name, perm)
+        o2, lse2 = _attend_lse(q, kv[0], kv[1], scale, implementation)
+        o, lse = _merge(o, lse, o2, lse2)
+    return o, lse
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring(q, k, v, axis_name, axis_size, scale, implementation):
+    return _ring_fwd_core(q, k, v, axis_name, axis_size, scale,
+                          implementation)[0]
+
+
+def _ring_fwd(q, k, v, axis_name, axis_size, scale, implementation):
+    o, lse = _ring_fwd_core(q, k, v, axis_name, axis_size, scale,
+                            implementation)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_bwd(axis_name, axis_size, scale, implementation, res, do):
+    q, k, v, o, lse = res
+    perm = _ring_perm(axis_size)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    # (k, v, dk, dv) make the FULL circle (n hops): at step t the device
+    # holds the kv shard owned by (self - t) and adds its contribution;
+    # after n hops dk/dv are home at their owners.
+    state = (k, v, jnp.zeros(k.shape, jnp.float32),
+             jnp.zeros(v.shape, jnp.float32))
+    for _ in range(axis_size):
+        kc, vc, dkc, dvc = state
+        dq_c, dk_c, dv_c = _pair_bwd(q, kc, vc, o, lse, do, scale,
+                                     implementation)
+        dq = dq + dq_c.astype(jnp.float32)
+        state = (kc, vc, dkc + dk_c.astype(jnp.float32),
+                 dvc + dv_c.astype(jnp.float32))
+        if axis_size > 1:
+            state = jax.lax.ppermute(state, axis_name, perm)
+    _, _, dk, dv = state
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring.defvjp(_ring_fwd, _ring_bwd)
 
 
 def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
@@ -92,19 +166,12 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
     Returns:
       (B, H, S/n, D) local attention output — exact (not approximate):
       identical to full softmax attention over the global sequence.
+      Differentiable (reverse-ring backward).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    o, lse = _attend_lse(q, k, v, scale, implementation)
-    if axis_size == 1:
-        return o
-    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
-    kv = (k, v)
-    for _ in range(axis_size - 1):
-        kv = jax.lax.ppermute(kv, axis_name, perm)
-        o2, lse2 = _attend_lse(q, kv[0], kv[1], scale, implementation)
-        o, lse = _merge(o, lse, o2, lse2)
-    return o
+    return _ring(q, k, v, axis_name, axis_size, float(scale),
+                 implementation)
 
 
 def ring_attention(q, k, v, axis_name: str, axis_size: int,
