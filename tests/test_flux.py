@@ -266,3 +266,37 @@ def test_rope_layout_half_model_equivalence():
     out_h = m_h.apply(permute_params_to_half_rope(params, cfg_i), *args)
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_i),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stages", [2, 4])
+def test_pipeline_parallel_matches_unsharded(rng, stages):
+    """GPipe pipeline over the 'stage' mesh axis == plain forward; the
+    4-stage case exercises the zero-padded masked-identity layers (2
+    double blocks over 4 stages)."""
+    from jax.sharding import Mesh
+
+    from x2i_tpu.models.flux import flux_pipeline_forward
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_flux_config()
+    model = FluxTransformer2D(cfg)
+    B = 4
+    args = (jnp.asarray(rng.standard_normal((B, S_IMG, cfg.in_channels)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (B, S_TXT, cfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (B, cfg.pooled_projection_dim)), jnp.float32),
+            jnp.full((B,), 0.5), prepare_latent_image_ids(GRID, GRID),
+            jnp.zeros((S_TXT, 3)))
+    params = model.init(jax.random.key(0), *args)
+    want = model.apply(params, *args)
+    mesh = Mesh(np.array(jax.devices()).reshape(8 // stages, stages),
+                ("data", "stage"))
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, *a: flux_pipeline_forward(
+            model, p, *a, n_stages=stages))(params, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

@@ -556,3 +556,131 @@ def chunk_single_scan_params(params: dict, chunks: int) -> dict:
         out["params"][f"single_blocks_{i}"] = jax.tree_util.tree_map(
             lambda x, i=i: x[i * per:(i + 1) * per], sub)
     return out
+
+
+def _pad_layer_stack(tree, n_stages: int):
+    """Pad a stacked (L, ...) layer tree to ceil(L/S)*S layers (zeros) and
+    return (padded_tree_with_valid_flag, per_stage). Padded layers are
+    masked to identity inside the pipeline stage scan."""
+    length = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    per = -(-length // n_stages)
+    pad = per * n_stages - length
+    padded = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), tree)
+    valid = jnp.arange(per * n_stages) < length
+    return {"p": padded, "valid": valid}, per
+
+
+def flux_pipeline_forward(model: "FluxTransformer2D", params,
+                          hidden_states, encoder_hidden_states,
+                          pooled_projections, timestep, img_ids, txt_ids,
+                          *, n_stages: int, axis_name: str = "stage",
+                          guidance=None):
+    """Pipeline-parallel FLUX forward (GPipe schedule) over the mesh
+    `axis_name` axis — beyond-reference parallelism (SURVEY §2.6: the
+    reference has DP + ZeRO only).
+
+    The scan-stacked double/single block parameters shard on their layer
+    axis across stages (parallel/pipeline.py); the batch splits into
+    single-sample microbatches that stream through the ring. Embedders
+    and the output head run replicated (they are <0.1% of FLOPs). Layer
+    counts that do not divide n_stages (19 doubles) are zero-padded and
+    masked to identity. Inference path (controls/KD aux unsupported);
+    output equals model.apply to numerical precision — pinned by
+    tests/test_flux.py::test_pipeline_parallel_matches_unsharded.
+    """
+    from x2i_tpu.parallel.pipeline import pipeline_apply
+
+    cfg = model.cfg
+    if cfg.single_scan_chunks > 1:
+        raise ValueError("pipeline forward expects the flat single_blocks "
+                         "stack (single_scan_chunks == 1)")
+    p = params["params"] if "params" in params else params
+    dim = cfg.inner_dim
+    dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
+
+    def app(name, mod, *x):
+        return mod.apply({"params": p[name]}, *x)
+
+    # --- embed (replicated; mirrors FluxTransformer2D.__call__ — the
+    # equality test catches drift) ---
+    hidden = app("x_embedder", dense(dim, "x"),
+                 hidden_states.astype(cfg.dtype))
+    encoder = app("context_embedder", dense(dim, "c"),
+                  encoder_hidden_states.astype(cfg.dtype))
+    emb = MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype, cfg.quantized)
+    temb = app("time_embedder", emb,
+               timestep_embedding(timestep * 1000.0, cfg.time_embed_dim)
+               .astype(cfg.dtype))
+    temb = temb + app("pooled_embedder", emb,
+                      pooled_projections.astype(cfg.dtype))
+    if cfg.guidance_embeds:
+        if guidance is None:
+            raise ValueError("guidance_embeds=True requires guidance")
+        temb = temb + app("guidance_embedder", emb,
+                          timestep_embedding(guidance * 1000.0,
+                                             cfg.time_embed_dim)
+                          .astype(cfg.dtype))
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    if cfg.rope_layout == "half":
+        rope = flux_rope_freqs_half(ids, cfg.axes_dims_rope)
+    else:
+        rope = flux_rope_freqs(ids, cfg.axes_dims_rope)
+
+    # --- microbatch split: one sample per microbatch ---
+    batch = hidden.shape[0]
+    mb = lambda a: a.reshape((batch, 1) + a.shape[1:])
+
+    dblock = FluxDoubleBlock(cfg, False)
+    sblock = FluxSingleBlock(cfg, False)
+
+    def masked_scan(block_apply, carry, chunk):
+        def body(c, xs):
+            lp, ok = xs
+            new = block_apply(lp, c)
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, c), None
+        return jax.lax.scan(body, carry, (chunk["p"], chunk["valid"]))[0]
+
+    def d_stage(chunk, act):
+        h, e, tb = act
+
+        def apply_one(lp, c):
+            (h2, e2), _ = dblock.apply({"params": lp}, (c[0], c[1]), tb,
+                                       rope, None, None, 3.0)
+            return (h2, e2)
+
+        h, e = masked_scan(apply_one, (h, e), chunk)
+        return (h, e, tb)
+
+    def s_stage(chunk, act):
+        x, tb = act
+
+        def apply_one(lp, c):
+            x2, _ = sblock.apply({"params": lp}, c, tb, rope, None, 3.0)
+            return x2
+
+        return masked_scan(lambda lp, c: apply_one(lp, c), x, chunk), tb
+
+    d_params, _ = _pad_layer_stack(p["double_blocks"], n_stages)
+    s_params, _ = _pad_layer_stack(p["single_blocks"], n_stages)
+
+    h_mb, e_mb, t_mb = pipeline_apply(
+        d_stage, d_params, (mb(hidden), mb(encoder), mb(temb)),
+        axis_name=axis_name, n_stages=n_stages)
+    joint = jnp.concatenate([e_mb, h_mb], axis=2)        # (M, 1, S, dim)
+    joint, t_mb = pipeline_apply(
+        s_stage, s_params, (joint, t_mb),
+        axis_name=axis_name, n_stages=n_stages)
+
+    s_txt = encoder.shape[1]
+    hidden = joint.reshape((batch,) + joint.shape[2:])[:, s_txt:, :]
+    temb = t_mb.reshape((batch,) + t_mb.shape[2:])
+
+    # --- head (replicated) ---
+    norm_mod = app("norm_out", dense(2 * dim, "n"), nn.silu(temb))
+    scale, shift = jnp.split(norm_mod, 2, axis=-1)
+    hidden = _modulate(layer_norm(hidden), shift, scale)
+    return app("proj_out",
+               dense(cfg.patch_size ** 2 * cfg.in_channels, "o"), hidden)
