@@ -300,3 +300,42 @@ def test_pipeline_parallel_matches_unsharded(rng, stages):
             model, p, *a, n_stages=stages))(params, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+def test_pipeline_parallel_grads(rng):
+    """The pipeline's fori_loop has static bounds, so autodiff flows
+    through the GPipe schedule: grads (activations AND stage-sharded
+    param stacks) match the plain forward — pp training works."""
+    from jax.sharding import Mesh
+
+    from x2i_tpu.models.flux import flux_pipeline_forward
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_flux_config()
+    model = FluxTransformer2D(cfg)
+    B = 4
+    args = (jnp.asarray(rng.standard_normal((B, S_IMG, cfg.in_channels)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (B, S_TXT, cfg.joint_attention_dim)), jnp.float32),
+            jnp.asarray(rng.standard_normal(
+                (B, cfg.pooled_projection_dim)), jnp.float32),
+            jnp.full((B,), 0.5), prepare_latent_image_ids(GRID, GRID),
+            jnp.zeros((S_TXT, 3)))
+    params = model.init(jax.random.key(0), *args)
+
+    def loss_pp(enc):
+        return jnp.sum(flux_pipeline_forward(
+            model, params, args[0], enc, *args[2:], n_stages=2) ** 2)
+
+    def loss_base(enc):
+        return jnp.sum(model.apply(params, args[0], enc, *args[2:]) ** 2)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "stage"))
+    with jax.set_mesh(mesh):
+        g_pp = jax.jit(jax.grad(loss_pp))(args[1])
+    g_base = jax.grad(loss_base)(args[1])
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_base),
+                               atol=5e-5)
