@@ -62,3 +62,35 @@ def test_postprocess_preprocess():
     assert float(x.min()) >= -1.0 and float(x.max()) <= 1.0
     back = postprocess(x)
     np.testing.assert_array_equal(np.asarray(back), img)
+
+
+def test_tiled_decode(rng):
+    """decode_tiled: exact when one tile covers the latent; matches
+    diffusers tiled semantics (seam-blended, per-tile group-norm stats)
+    on multi-tile inputs — same shape, finite, high agreement with the
+    full decode away from numerical seams."""
+    from x2i_tpu.core.config import VAEConfig
+    from x2i_tpu.models.vae import AutoencoderKL
+
+    cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                    norm_num_groups=4, latent_channels=4,
+                    use_mid_attention=False)
+    vae = AutoencoderKL(cfg)
+    z1 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    params = vae.init(jax.random.key(0), z1, method=vae.decode)
+
+    # single-tile case is bit-exact
+    full = vae.apply(params, z1, method=vae.decode)
+    tiled = vae.apply(params, z1, method=vae.decode_tiled)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(tiled))
+
+    # multi-tile: 24x24 latents with 8-latent tiles, 25% overlap
+    z = jnp.asarray(rng.standard_normal((1, 24, 24, 4)), jnp.float32)
+    full = vae.apply(params, z, method=vae.decode)
+    tiled = vae.apply(params, z, method=vae.decode_tiled,
+                      tile_latent=8)
+    assert tiled.shape == full.shape == (1, 48, 48, 3)
+    assert np.isfinite(np.asarray(tiled)).all()
+    f, t = np.asarray(full).ravel(), np.asarray(tiled).ravel()
+    corr = np.corrcoef(f, t)[0, 1]
+    assert corr > 0.9, corr

@@ -236,6 +236,11 @@ class GenerationConfig:
     guidance_scale: float = 3.5
     max_sequence_length: int = 512
     seed: int = 0
+    vae_tile_px: int = 1536          # decode in overlapping tiles when
+                                     # height or width exceeds this
+                                     # (decoder activations at 2048²
+                                     # exceed one chip's HBM); 0 = never
+                                     # tile. See AutoencoderKL.decode_tiled.
 
 
 @dataclass(frozen=True)

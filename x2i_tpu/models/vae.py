@@ -177,6 +177,64 @@ class AutoencoderKL(nn.Module):
         z = z / self.cfg.scaling_factor + self.cfg.shift_factor
         return self.decoder(z)
 
+    def decode_tiled(self, z, tile_latent: int = 64,
+                     overlap: float = 0.25):
+        """Tiled decode for resolutions whose decoder activations exceed
+        HBM (2048² keeps ~17 GB of f32-equivalent feature maps live at
+        the 1024-wide stages). Decodes overlapping latent tiles and
+        linearly blends the seams — diffusers AutoencoderKL.tiled_decode
+        semantics (tile 64 latents = 512 px, 25% overlap), so the same
+        seam behavior users already accept. Group-norm statistics are
+        per-tile, as in diffusers. A single tile that covers the whole
+        latent is exactly decode()."""
+        cfg = self.cfg
+        z = z / cfg.scaling_factor + cfg.shift_factor
+        b, h, w, c = z.shape
+        if h <= tile_latent and w <= tile_latent:
+            return self.decoder(z)
+        stride = max(1, int(tile_latent * (1 - overlap)))
+        # latent -> pixel upscale: one 2x resize per non-final up block
+        scale = 2 ** (len(cfg.block_out_channels) - 1)
+        tile_px = tile_latent * scale
+        blend = int(tile_px * overlap)
+        keep = tile_px - blend
+
+        def blend_v(top, bot, n):
+            n = min(n, top.shape[1], bot.shape[1])
+            ramp = (jnp.arange(n, dtype=jnp.float32) / n)[None, :, None,
+                                                          None]
+            mixed = (top[:, -n:].astype(jnp.float32) * (1 - ramp)
+                     + bot[:, :n].astype(jnp.float32) * ramp)
+            return bot.at[:, :n].set(mixed.astype(bot.dtype))
+
+        def blend_h(left, right, n):
+            n = min(n, left.shape[2], right.shape[2])
+            ramp = (jnp.arange(n, dtype=jnp.float32) / n)[None, None, :,
+                                                          None]
+            mixed = (left[:, :, -n:].astype(jnp.float32) * (1 - ramp)
+                     + right[:, :, :n].astype(jnp.float32) * ramp)
+            return right.at[:, :, :n].set(mixed.astype(right.dtype))
+
+        rows = []
+        for i in range(0, h, stride):
+            row = []
+            for j in range(0, w, stride):
+                row.append(self.decoder(
+                    z[:, i:i + tile_latent, j:j + tile_latent, :]))
+            rows.append(row)
+        out_rows = []
+        for i, row in enumerate(rows):
+            parts = []
+            for j, tile in enumerate(row):
+                if i > 0:
+                    tile = blend_v(rows[i - 1][j], tile, blend)
+                if j > 0:
+                    tile = blend_h(row[j - 1], tile, blend)
+                parts.append(tile[:, :keep, :keep])
+            out_rows.append(jnp.concatenate(parts, axis=2))
+        out = jnp.concatenate(out_rows, axis=1)
+        return out[:, :h * scale, :w * scale]
+
     def __call__(self, pixels, rng=None):
         return self.decode(self.encode(pixels, rng))
 

@@ -131,9 +131,13 @@ class X2IPipeline:
                           pooled.astype(self.flux.cfg.dtype), sigmas,
                           img_ids, txt_ids, guidance_scale=gscale)
             lat = unpack_latents(lat, height, width)
+            tile_px = self.gen_cfg.vae_tile_px
+            decode = (self.vae.decode_tiled
+                      if tile_px and max(height, width) > tile_px
+                      else self.vae.decode)
             pixels = self.vae.apply(vae_params,
                                     jnp.transpose(lat, (0, 2, 3, 1)),
-                                    method=self.vae.decode)
+                                    method=decode)
             return postprocess(pixels)
 
         return run
