@@ -123,10 +123,15 @@ def _ring(cfg, q, k, v, impl: str) -> jnp.ndarray:
     from jax.sharding import get_abstract_mesh
 
     from x2i_tpu.ops.ring_attention import ring_attention
-    n = get_abstract_mesh().shape.get("tensor", 1)
+    mesh_shape = get_abstract_mesh().shape
+    n = mesh_shape.get("tensor", 1)
     if n <= 1:
         return attention(q, k, v, implementation=impl)
-    return ring_attention(q, k, v, "tensor", n, implementation=impl)
+    # keep the batch sharded over the data axes inside the shard_map
+    # (replicating it would make every data row redo the whole batch)
+    batch_axes = tuple(ax for ax in ("data", "fsdp") if ax in mesh_shape)
+    return ring_attention(q, k, v, "tensor", n, implementation=impl,
+                          batch_axes=batch_axes or None)
 
 
 def _shard(x: jnp.ndarray, cfg: FluxConfig, *spec) -> jnp.ndarray:

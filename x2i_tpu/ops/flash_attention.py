@@ -104,11 +104,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
     if cos_ref is not None:
         d2 = q_ref.shape[-1] // 2
 
+        skv = k_ref.shape[2]
+
         @pl.when(i == 0)
         def _():
             kf = k_ref[0, 0].astype(jnp.float32)
-            krot_ref[...] = (kf * cos_ref[...] +
-                             pltpu.roll(kf, d2, 1) * sin_ref[...]
+            # tables are padded to a block_q multiple (>= skv) so the q
+            # tile's dynamic slice below is never out of bounds; the k
+            # rotation takes the static skv prefix
+            krot_ref[...] = (kf * cos_ref[:skv] +
+                             pltpu.roll(kf, d2, 1) * sin_ref[:skv]
                              ).astype(krot_ref.dtype)
 
         k = krot_ref[...]
@@ -164,8 +169,16 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     has_rope = rope is not None
     if has_rope:
         assert sq == skv, "in-kernel rope assumes joint (Sq == Skv) attention"
+        # pad the tables to a block_q multiple: the kernel's q-tile slice
+        # pl.ds(i*block_q, block_q) must stay in bounds for a partial
+        # final block (otherwise Mosaic clamps the start and the last
+        # valid rows get rotated with tables from block_q-(sq%block_q)
+        # rows earlier — silent corruption at e.g. padded-896² lengths)
+        s_pad = pl.cdiv(sq, block_q) * block_q
         for tab in rope:
-            in_specs.append(pl.BlockSpec((skv, d), lambda b, h, i: (0, 0),
+            tab = jnp.pad(tab, ((0, s_pad - skv), (0, 0)))
+            in_specs.append(pl.BlockSpec((s_pad, d),
+                                         lambda b, h, i: (0, 0),
                                          memory_space=pltpu.VMEM))
             args.append(tab)
     has_mask = kv_mask is not None
@@ -540,8 +553,22 @@ def _xla_attention(q, k, v, kv_mask, *, causal: bool, scale: float,
 
 def _fwd_impl(q, k, v, kv_mask, rope, causal, scale, return_lse=False):
     import os
+
+    def _env_true(name):
+        return os.environ.get(name, "").lower() not in ("", "0", "false")
+
     bq = int(os.environ.get("X2I_FA_BLOCK_Q", "256"))
-    if k.shape[2] > MAX_KV_SEQ or os.environ.get("X2I_FA_FORCE_CHUNKED"):
+    # In-kernel rope adds 2 f32 tables + a k scratch to the full-KV
+    # kernel's VMEM residency; beyond ~6k kv tokens pre-rotate in XLA
+    # instead (validated on hardware at the 4608-token FLUX point; the
+    # conservative cap is tunable until longer joints are measured).
+    rope_max_kv = int(os.environ.get("X2I_FA_ROPE_MAX_KV", "6144"))
+    if rope is not None and k.shape[2] > rope_max_kv:
+        cos, sin_s = rope
+        q = _rope_bhsd(q, cos, sin_s)
+        k = _rope_bhsd(k, cos, sin_s)
+        rope = None
+    if k.shape[2] > MAX_KV_SEQ or _env_true("X2I_FA_FORCE_CHUNKED"):
         if rope is not None:               # chunked path: pre-rope in XLA
             cos, sin_s = rope
             q = _rope_bhsd(q, cos, sin_s)

@@ -87,14 +87,15 @@ def _pair_bwd(q, k, v, o, lse, do, scale, implementation):
 def _merge(o, lse, o2, lse2):
     """Online log-space merge of two normalized partials (o_i, lse_i):
     softmax(cat(s1, s2)) @ cat(v1, v2) == w1*o1 + w2*o2 with
-    w_i = exp2(lse_i - lse_tot). f32 throughout; o returned in o.dtype."""
+    w_i = exp2(lse_i - lse_tot). The accumulator stays f32 across hops
+    (one cast at the end of the ring, not one per hop)."""
     m = jnp.maximum(lse, lse2)
     w1 = jnp.exp2(lse - m)
     w2 = jnp.exp2(lse2 - m)
     denom = w1 + w2
     of = (o.astype(jnp.float32) * (w1 / denom)[..., None]
           + o2.astype(jnp.float32) * (w2 / denom)[..., None])
-    return of.astype(o.dtype), m + jnp.log2(denom)
+    return of, m + jnp.log2(denom)
 
 
 def _ring_perm(axis_size):
@@ -107,11 +108,12 @@ def _ring_fwd_core(q, k, v, axis_name, axis_size, scale, implementation):
         return o, lse
     perm = _ring_perm(axis_size)
     kv = (k, v)
+    o = o.astype(jnp.float32)
     for _ in range(axis_size - 1):
         kv = jax.lax.ppermute(kv, axis_name, perm)
         o2, lse2 = _attend_lse(q, kv[0], kv[1], scale, implementation)
         o, lse = _merge(o, lse, o2, lse2)
-    return o, lse
+    return o.astype(q.dtype), lse
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -176,11 +178,15 @@ def ring_attention_local(q, k, v, axis_name: str, axis_size: int,
 
 def ring_attention(q, k, v, axis_name: str, axis_size: int,
                    scale: Optional[float] = None,
-                   implementation: str = "auto"):
+                   implementation: str = "auto",
+                   batch_axes=None):
     """Global-array entry: (B, S, H, D) inputs under an ambient mesh
     (jax.set_mesh), sequence axis sharded over `axis_name`. Wraps
-    ring_attention_local in jax.shard_map; batch/head/channel axes are
-    replicated across the ring axis.
+    ring_attention_local in jax.shard_map.
+
+    batch_axes: mesh axis (or tuple) the batch dim is sharded over —
+    pass the data-parallel axes so each data row only computes its own
+    batch shard (None replicates the batch across non-ring axes).
 
     S must divide evenly by axis_size (FLUX joint lengths are multiples
     of 128; pad upstream via ops.attention's pad-and-mask if not).
@@ -191,7 +197,7 @@ def ring_attention(q, k, v, axis_name: str, axis_size: int,
         raise ValueError(
             f"ring_attention: seq {q.shape[1]} not divisible by ring size "
             f"{axis_size}")
-    spec = P(None, axis_name, None, None)
+    spec = P(batch_axes, axis_name, None, None)
 
     def body(ql, kl, vl):
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (ql, kl, vl))
