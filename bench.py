@@ -72,9 +72,13 @@ def main():
     use_pallas = os.environ.get("X2I_BENCH_ATTN", "pallas") != "xla"
 
     rope_layout = os.environ.get("X2I_BENCH_ROPE", "half")
+    # Pallas fused LN+modulate+quantize / gelu+quantize glue kernels
+    # (ops/fused_glue.py) — w8a8 only; X2I_BENCH_FUSED_GLUE=0 to disable.
+    fused_glue = (quant == "w8a8" and
+                  os.environ.get("X2I_BENCH_FUSED_GLUE", "1") == "1")
     cfg = FluxConfig(quantized=quant, guidance_embeds=False,
                      use_pallas_attention=use_pallas,
-                     rope_layout=rope_layout)
+                     rope_layout=rope_layout, fused_glue=fused_glue)
     model = FluxTransformer2D(cfg)
     grid, s_txt = px // 8, 512                  # 1024^2 -> 128x128 latents
     s_img = (grid // 2) ** 2                    # 4096 image tokens

@@ -73,6 +73,12 @@ class FluxConfig:
     quantized: Any = False           # False | True/"w8" (int8 weights) |
                                      # "w8a8" (int8 weights + dynamic
                                      # per-token activations on the MXU)
+    fused_glue: bool = False         # w8a8 inference only: Pallas kernels
+                                     # fusing LN+modulate+quantize, gelu+
+                                     # quantize and plain row-quantize into
+                                     # one HBM pass each (ops/fused_glue).
+                                     # Not differentiable — trainers and
+                                     # KD-emitting paths keep XLA glue.
     shard_activations: bool = False  # tensor-parallel constraints (heads/
                                      # ffn over the mesh 'tensor' axis);
                                      # requires running under jax.set_mesh

@@ -85,6 +85,16 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _use_fused_glue(cfg, kd_target) -> bool:
+    """Fused Pallas glue (ops/fused_glue) applies on the plain w8a8
+    inference path only: it is not differentiable (KD/student paths keep
+    the XLA glue) and skips the TP/SP sharding constraints."""
+    return (cfg.fused_glue and cfg.quantized == "w8a8"
+            and kd_target is None
+            and not (cfg.shard_activations or cfg.shard_sequence
+                     or cfg.ring_sequence))
+
+
 def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
     """RoPE + joint attention. q/k/v: (B, S, H, D); rope: (cos, sin) each
     (S, D) in cfg.rope_layout.
@@ -186,8 +196,16 @@ class FluxDoubleBlock(nn.Module):
         (c_shift_msa, c_scale_msa, c_gate_msa,
          c_shift_mlp, c_scale_mlp, c_gate_mlp) = jnp.split(cmod, 6, axis=-1)
 
-        img_in = _modulate(layer_norm(hidden), shift_msa, scale_msa)
-        txt_in = _modulate(layer_norm(encoder), c_shift_msa, c_scale_msa)
+        fused = _use_fused_glue(cfg, kd_target)
+        if fused:
+            from x2i_tpu.ops.fused_glue import (gelu_quant, ln_mod_quant,
+                                                quant_rows)
+            img_in = ln_mod_quant(hidden, shift_msa, scale_msa)
+            txt_in = ln_mod_quant(encoder, c_shift_msa, c_scale_msa)
+        else:
+            img_in = _modulate(layer_norm(hidden), shift_msa, scale_msa)
+            txt_in = _modulate(layer_norm(encoder), c_shift_msa,
+                               c_scale_msa)
 
         batch, s_img = hidden.shape[0], hidden.shape[1]
         s_txt = encoder.shape[1]
@@ -221,23 +239,40 @@ class FluxDoubleBlock(nn.Module):
         attn = attn.reshape(batch, s_txt + s_img, dim)
         txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
-        img_attn = dense(dim, "img_attn_out")(img_attn)
-        txt_attn = dense(dim, "txt_attn_out")(txt_attn)
+        if fused:
+            img_attn = dense(dim, "img_attn_out")(quant_rows(img_attn))
+            txt_attn = dense(dim, "txt_attn_out")(quant_rows(txt_attn))
+        else:
+            img_attn = dense(dim, "img_attn_out")(img_attn)
+            txt_attn = dense(dim, "txt_attn_out")(txt_attn)
 
         hidden = hidden + gate_msa[:, None, :] * img_attn
-        ff_in = _modulate(layer_norm(hidden), shift_mlp, scale_mlp)
-        ff_mid = nn.gelu(dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(
-            ff_in))
-        ff_mid = _shard(ff_mid, cfg, ("data", "fsdp"), None, "tensor")
-        ff = dense(dim, "img_mlp_out")(ff_mid)
+        if fused:
+            ff_in = ln_mod_quant(hidden, shift_mlp, scale_mlp)
+        else:
+            ff_in = _modulate(layer_norm(hidden), shift_mlp, scale_mlp)
+        mid = dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(ff_in)
+        if fused:
+            ff = dense(dim, "img_mlp_out")(gelu_quant(mid))
+        else:
+            ff_mid = _shard(nn.gelu(mid), cfg, ("data", "fsdp"), None,
+                            "tensor")
+            ff = dense(dim, "img_mlp_out")(ff_mid)
         hidden = hidden + gate_mlp[:, None, :] * ff
 
         encoder = encoder + c_gate_msa[:, None, :] * txt_attn
-        cff_in = _modulate(layer_norm(encoder), c_shift_mlp, c_scale_mlp)
-        cff_mid = nn.gelu(dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(
-            cff_in))
-        cff_mid = _shard(cff_mid, cfg, ("data", "fsdp"), None, "tensor")
-        cff = dense(dim, "txt_mlp_out")(cff_mid)
+        if fused:
+            cff_in = ln_mod_quant(encoder, c_shift_mlp, c_scale_mlp)
+        else:
+            cff_in = _modulate(layer_norm(encoder), c_shift_mlp,
+                               c_scale_mlp)
+        cmid = dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(cff_in)
+        if fused:
+            cff = dense(dim, "txt_mlp_out")(gelu_quant(cmid))
+        else:
+            cff_mid = _shard(nn.gelu(cmid), cfg, ("data", "fsdp"), None,
+                             "tensor")
+            cff = dense(dim, "txt_mlp_out")(cff_mid)
         encoder = encoder + c_gate_mlp[:, None, :] * cff
 
         if control is not None:
@@ -276,7 +311,16 @@ class FluxSingleBlock(nn.Module):
 
         mod = dense(3 * dim, "mod")(nn.silu(temb))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
-        x = _modulate(layer_norm(hidden), shift, scale)
+        # fused_glue: one-HBM-pass Pallas kernels produce pre-quantized
+        # (int8, row-scale) inputs for the w8a8 matmuls (ops/fused_glue);
+        # inference-only (not differentiable), so KD paths keep XLA glue.
+        fused = _use_fused_glue(cfg, kd_target)
+        if fused:
+            from x2i_tpu.ops.fused_glue import (gelu_quant, ln_mod_quant,
+                                                quant_rows)
+            x = ln_mod_quant(hidden, shift, scale)
+        else:
+            x = _modulate(layer_norm(hidden), shift, scale)
 
         batch, seq = hidden.shape[0], hidden.shape[1]
         q = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype, name="q_norm")(
@@ -293,9 +337,15 @@ class FluxSingleBlock(nn.Module):
         attn = _roped_attention(cfg, q, k, v, rope, impl)
         attn = attn.reshape(batch, seq, dim)
 
-        mlp = nn.gelu(dense(mlp_dim, "mlp_in")(x))
-        mlp = _shard(mlp, cfg, ("data", "fsdp"), None, "tensor")
-        out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
+        if fused:
+            # chunked pre-quantized input: the [attn | mlp] concat never
+            # materializes (QuantDense sums per-chunk int8 matmuls)
+            mlp_t = gelu_quant(dense(mlp_dim, "mlp_in")(x))
+            out = dense(dim, "out")([quant_rows(attn), mlp_t])
+        else:
+            mlp = nn.gelu(dense(mlp_dim, "mlp_in")(x))
+            mlp = _shard(mlp, cfg, ("data", "fsdp"), None, "tensor")
+            out = dense(dim, "out")(jnp.concatenate([attn, mlp], axis=-1))
         hidden = hidden + gate[:, None, :] * out
         hidden = _shard_seq(hidden, cfg)
         if kd_target is not None:
@@ -470,9 +520,13 @@ class FluxTransformer2D(nn.Module):
         # AdaLayerNormContinuous: note scale-first chunk order in diffusers.
         norm_mod = dense(2 * dim, "norm_out")(nn.silu(temb))
         scale, shift = jnp.split(norm_mod, 2, axis=-1)
-        hidden = _modulate(layer_norm(hidden), shift, scale)
+        if _use_fused_glue(cfg, None if kd_targets is None else kd_targets):
+            from x2i_tpu.ops.fused_glue import ln_mod_quant
+            head_in = ln_mod_quant(hidden, shift, scale)
+        else:
+            head_in = _modulate(layer_norm(hidden), shift, scale)
         output = dense(cfg.patch_size ** 2 * cfg.in_channels,
-                       "proj_out")(hidden)
+                       "proj_out")(head_in)
 
         if kd_targets is not None:
             # inline KD: ys were per-layer scalars (per-chunk list when

@@ -43,7 +43,16 @@ def w8a8_matmul(x, qkernel, scale):
     acc = jax.lax.dot_general(
         xq, qkernel, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * a_scale * scale.astype(jnp.float32)
+    # Rescale in f32 but cast to x.dtype INSIDE the custom_vjp: the vjp
+    # output is a fusion/remat boundary, so an f32 root can become a
+    # materialized f32 temp (216 MB per 12B block at the 128-grid point)
+    # whenever the consumer's cast doesn't fuse across it. Numerics are
+    # identical to casting immediately outside, which QuantDense did;
+    # measured HBM-neutral on the 128-grid student program (XLA was
+    # already folding the cast there) but it removes the dependence on
+    # that folding and makes the op's output dtype follow x.
+    return (acc.astype(jnp.float32) * a_scale
+            * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def _w8a8_fwd(x, qkernel, scale):
@@ -55,23 +64,38 @@ def _w8a8_fwd(x, qkernel, scale):
 def _w8a8_bwd(res, dy):
     x_sentinel, qkernel, scale = res
     x_dtype = x_sentinel.dtype
-    # dx = dy @ W^T. The W^T relayout must stay INSIDE the DiT's scan loop:
-    # it only depends on loop-invariant weights, so XLA hoists it and
-    # materializes every layer's transposed int8 stack (+2 GB at full
-    # size). Barrier the int8 kernel FIRST — guarding only the bf16
-    # transpose still lets XLA hoist an int8 relayout feeding it — then
-    # pin the dequant+transpose too (ephemeral ~19 MB, ~25 us/weight).
+    # dx_i = sum_o dy_o * W_io: contract W's OUT dim directly instead of
+    # materializing W^T. A swapaxes formulation (even behind
+    # optimization_barriers — they are layout-transparent) made layout
+    # assignment relayout the int8 param stacks feeding the scan: six
+    # hoisted 171 MB copies of the double-block qkv stacks plus a 90 MB
+    # per-layer bf16 W^T temp at full size (observed in the 12B student's
+    # OOM allocation dump). With the direct contraction the dot consumes
+    # the dequantized weight in its native (in, out) layout; the barrier
+    # keeps the dequant itself inside the loop.
     qk = jax.lax.optimization_barrier(qkernel)
     w = qk.astype(x_dtype) * scale.astype(x_dtype)           # (in, out)
-    wt = jax.lax.optimization_barrier(jnp.swapaxes(w, 0, 1))  # (out, in)
     dx = jax.lax.dot_general(
-        dy.astype(x_dtype), wt, (((dy.ndim - 1,), (0,)), ((), ())),
+        dy.astype(x_dtype), w, (((dy.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x_dtype)
     return (dx, np.zeros(qkernel.shape, jax.dtypes.float0),
             jnp.zeros_like(scale))
 
 
 w8a8_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
+def w8a8_matmul_prequant(xq, a_scale, qkernel, scale, out_dtype=None):
+    """int8 matmul over an ALREADY-quantized activation (xq int8 (..., in),
+    a_scale f32 (..., 1) — the output form of ops/fused_glue kernels).
+    Skips w8a8_matmul's in-graph dynamic quantization so the fused glue
+    kernels own the only HBM pass over the activation. Inference-only (no
+    custom_vjp; training keeps the unfused path)."""
+    acc = jax.lax.dot_general(
+        xq, qkernel, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * a_scale * scale.astype(jnp.float32)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 @jax.custom_vjp
@@ -116,12 +140,35 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # (xq int8, a_scale f32) tuple input = pre-quantized activation
+        # from an ops/fused_glue kernel; a LIST of such tuples = chunks
+        # along the input-feature axis (the matmul runs per chunk against
+        # the matching kernel rows and sums — replaces a concatenate, so
+        # e.g. the single block's [attn | mlp] 141 MB concat copy never
+        # materializes). w8a8-only, inference-only.
+        prequant = isinstance(x, (tuple, list))
+        chunks = (list(x) if isinstance(x, list) else [x]) if prequant \
+            else None
+        in_features = (sum(c[0].shape[-1] for c in chunks) if prequant
+                       else x.shape[-1])
         qkernel = self.param(
-            "qkernel", nn.initializers.zeros, (x.shape[-1], self.features),
+            "qkernel", nn.initializers.zeros, (in_features, self.features),
             jnp.int8)
         scale = self.param("scale", nn.initializers.ones, (self.features,),
                            jnp.float32)
-        if self.mode == "w8a8":
+        if prequant:
+            if self.mode != "w8a8":
+                raise ValueError("pre-quantized input requires mode w8a8")
+            y, off = None, 0
+            for xq, a_scale in chunks:
+                f = xq.shape[-1]
+                part = w8a8_matmul_prequant(
+                    xq, a_scale, jax.lax.slice_in_dim(qkernel, off, off + f,
+                                                      axis=0),
+                    scale, out_dtype=self.dtype)
+                y = part if y is None else y + part
+                off += f
+        elif self.mode == "w8a8":
             y = w8a8_matmul(x, qkernel, scale).astype(self.dtype)
         else:
             y = w8_matmul(x.astype(self.dtype), qkernel, scale)
