@@ -161,3 +161,33 @@ def test_w8_gradient_matches_dense(rng):
     wq = q.astype(np.float32) * s
     want = 2.0 * (np.asarray(x) @ wq) @ wq.T
     np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-5, atol=1e-5)
+
+
+def test_qwen2_quantized_matches_bf16():
+    """int8 Qwen2LM (Qwen2Config.quantized) tracks the bf16 model closely:
+    the MLLM encoder can sit next to the int8 DiT on one chip."""
+    import numpy as np
+    from x2i_tpu.core.config import tiny_qwen2_config
+    from x2i_tpu.models.qwen2 import Qwen2LM
+    from x2i_tpu.ops.quant import quantize_tree
+
+    cfg = tiny_qwen2_config(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                            use_pallas_attention=False)
+    qcfg = tiny_qwen2_config(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                             use_pallas_attention=False, quantized="w8a8")
+    lm, qlm = Qwen2LM(cfg), Qwen2LM(qcfg)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 24)),
+        jnp.int32)
+    params = lm.init(jax.random.key(0), ids)
+    qparams = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantize_tree(jax.tree_util.tree_map(np.asarray, params)))
+
+    states, _ = lm.apply(params, ids)
+    qstates, _ = qlm.apply(qparams, ids)
+    a = np.asarray(states, np.float32).ravel()
+    b = np.asarray(qstates, np.float32).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    assert np.isfinite(b).all()

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 
 def build_generate(px: int, quant: str = "w8a8",
-                   rope_layout: str = "interleaved"):
+                   rope_layout: str = "interleaved",
+                   fused_glue: bool = False):
     from x2i_tpu.core.config import FluxConfig, SchedulerConfig, VAEConfig
     from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
                                    prepare_latent_image_ids, unpack_latents)
@@ -36,7 +37,8 @@ def build_generate(px: int, quant: str = "w8a8",
     from __graft_entry__ import _full_size_quantized_flux_params
 
     cfg = FluxConfig(quantized=quant, guidance_embeds=False,
-                     rope_layout=rope_layout)
+                     rope_layout=rope_layout,
+                     fused_glue=fused_glue and quant == "w8a8")
     model = FluxTransformer2D(cfg)
     grid, s_txt = px // 8, 512
     s_img = (grid // 2) ** 2
@@ -145,10 +147,12 @@ def main():
     ap.add_argument("--px", type=int, default=1024)
     ap.add_argument("--quant", default="w8a8")
     ap.add_argument("--rope", default="interleaved")
+    ap.add_argument("--fused_glue", type=int, default=0)
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
-    compiled, a = build_generate(args.px, args.quant, args.rope)
+    compiled, a = build_generate(args.px, args.quant, args.rope,
+                             bool(args.fused_glue))
     out = compiled(*a)
     out.block_until_ready()                     # warm
 

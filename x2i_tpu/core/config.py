@@ -158,6 +158,11 @@ class Qwen2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     use_pallas_attention: bool = True
+    quantized: Any = False           # False | "w8" | "w8a8" int8 block
+                                     # matmuls (ops/quant.QuantDense) — the
+                                     # MLLM fits next to the int8 12B DiT
+                                     # for single-chip end-to-end serving;
+                                     # embed table / norms stay bf16
 
     @property
     def num_layers_with_embedding(self) -> int:

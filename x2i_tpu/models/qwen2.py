@@ -65,9 +65,9 @@ class Qwen2Block(nn.Module):
         b, s, _ = hidden.shape
         h, hk, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                     cfg.head_dim)
-        dense = lambda feats, name, bias: nn.Dense(
-            feats, use_bias=bias, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name=name)
+        from x2i_tpu.ops.quant import make_dense
+        _dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
+        dense = lambda feats, name, bias: _dense(feats, name, use_bias=bias)
 
         x = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype, name="input_norm")(
             hidden)
@@ -148,10 +148,10 @@ class Qwen2LM(nn.Module):
         self.final_norm = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
                                   name="final_norm")
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                    dtype=cfg.dtype,
-                                    param_dtype=cfg.param_dtype,
-                                    name="lm_head")
+            from x2i_tpu.ops.quant import make_dense
+            self.lm_head = make_dense(cfg.quantized, cfg.dtype,
+                                      cfg.param_dtype)(
+                cfg.vocab_size, "lm_head", use_bias=False)
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)
