@@ -453,3 +453,45 @@ def test_ring_attention_grads_match_full(rng):
     for a, b in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_flash_kernel_qk_norm_matches_preapplied(rng):
+    """In-kernel qk_norm (per-head-dim RMSNorm folded before the in-kernel
+    rotation) == rms_norm applied in XLA before the rope-fused kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from x2i_tpu.ops.norms import rms_norm
+    B, H, S, D = 1, 2, 256, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    qw = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32)
+    kw = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+    with pltpu.force_tpu_interpret_mode():
+        got = fa.flash_attention(q, k, v, rope=(cos, sin),
+                                 qk_norm=(qw, kw, 1e-6))
+        want = fa.flash_attention(rms_norm(q, qw), rms_norm(k, kw), v,
+                                  rope=(cos, sin))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_attention_qk_norm_xla_fallback(rng):
+    """attention(qk_norm=...) on the XLA path == module-order norm+rope."""
+    from x2i_tpu.ops.norms import rms_norm
+    from x2i_tpu.ops.rope import apply_rope_half, rope_freqs_half
+    B, S, H, D = 1, 64, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    qw = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32)
+    kw = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D), jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.float32)
+    cos, sin = rope_freqs_half(pos, D, 10000.0)
+    got = attention(q, k, v, rope=(cos, sin), qk_norm=(qw, kw, 1e-6),
+                    implementation="xla")
+    want = attention(apply_rope_half(rms_norm(q, qw), cos, sin),
+                     apply_rope_half(rms_norm(k, kw), cos, sin), v,
+                     implementation="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

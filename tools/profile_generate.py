@@ -76,11 +76,18 @@ def build_generate(px: int, quant: str = "w8a8",
     return compiled, args
 
 
+# Mosaic kernel launches are traced under their flax scope name
+# (single_blocks.NN / double_blocks.NN): the big ones (~1.9 ms at 4608
+# tokens) are the flash-attention kernels, the small ones the fused glue
+# kernels — separated by a duration threshold at aggregation time below.
 _FAMILIES = [
-    ("flash-attn (pallas)", re.compile(r"flash|attention_kernel|custom-call", re.I)),
+    ("pallas kernels (attn + glue)",
+     re.compile(r"flash|attention_kernel|custom-call|"
+                r"(?:single|double)_blocks\.\d+$", re.I)),
     ("int8 matmul (dense path)", re.compile(r"quant|int8|s8", re.I)),
     ("matmul/conv (bf16)", re.compile(r"convolution|dot|cudnn|conv", re.I)),
     ("copies/transposes", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
+    ("reduce fusions (norms)", re.compile(r"reduce", re.I)),
     ("fusions (elementwise glue)", re.compile(r"fusion|loop_", re.I)),
 ]
 
@@ -113,6 +120,9 @@ def parse_trace(trace_dir: str):
             continue
         name = e.get("name", "?")
         if name.startswith("Steam") or "Infeed" in name:
+            continue
+        # whole-module rows duplicate the op stream on a separate lane
+        if name.startswith("jit_") or name.startswith("jit("):
             continue
         lanes[(e["pid"], e.get("tid"))].append(
             (float(e["ts"]), float(e.get("dur", 0.0)), name))

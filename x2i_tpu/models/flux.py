@@ -68,15 +68,22 @@ class MLPEmbedder(nn.Module):
 
 
 class QKNorm(nn.Module):
-    """Per-head RMSNorm on q/k (diffusers Attention qk_norm='rms_norm')."""
+    """Per-head RMSNorm on q/k (diffusers Attention qk_norm='rms_norm').
+
+    scale_only=True returns the (head_dim,) scale param without applying
+    the norm — the fused inference path folds the normalization into the
+    flash kernel (ops/flash_attention qk_norm=) and only needs the weight.
+    """
     head_dim: int
     eps: float = 1e-6
     param_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_only: bool = False):
         scale = self.param("scale", nn.initializers.ones, (self.head_dim,),
                            self.param_dtype)
+        if scale_only:
+            return scale
         return rms_norm(x, scale, self.eps)
 
 
@@ -95,9 +102,12 @@ def _use_fused_glue(cfg, kd_target) -> bool:
                      or cfg.ring_sequence))
 
 
-def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
+def _roped_attention(cfg, q, k, v, rope, impl: str,
+                     qk_norm=None) -> jnp.ndarray:
     """RoPE + joint attention. q/k/v: (B, S, H, D); rope: (cos, sin) each
-    (S, D) in cfg.rope_layout.
+    (S, D) in cfg.rope_layout. qk_norm: optional (q_scale, k_scale, eps)
+    when the caller skipped the QKNorm modules (fused inference path) —
+    applied in-kernel on the rope_in_kernel route, in XLA otherwise.
 
     The half layout assumes q/k projection channels (and qk-norm scales)
     are stored permuted by ops/rope.py::half_layout_perm — converters do
@@ -109,13 +119,22 @@ def _roped_attention(cfg, q, k, v, rope, impl: str) -> jnp.ndarray:
     XLA-side rope read+write of q/k entirely (measured:
     tools/profile_generate.py)."""
     cos, sin = rope
+    if qk_norm is not None and not (cfg.rope_layout == "half"
+                                    and cfg.rope_in_kernel
+                                    and not cfg.ring_sequence):
+        from x2i_tpu.ops.norms import rms_norm
+        qw, kw, eps = qk_norm
+        qw = qw if qw.ndim == 1 else qw[:, None, :]
+        kw = kw if kw.ndim == 1 else kw[:, None, :]
+        q, k, qk_norm = rms_norm(q, qw, eps), rms_norm(k, kw, eps), None
     if cfg.rope_layout == "half":
         if cfg.ring_sequence:
             from x2i_tpu.ops.rope import apply_rope_half
             return _ring(cfg, apply_rope_half(q, cos, sin),
                          apply_rope_half(k, cos, sin), v, impl)
         if cfg.rope_in_kernel:
-            return attention(q, k, v, implementation=impl, rope=(cos, sin))
+            return attention(q, k, v, implementation=impl, rope=(cos, sin),
+                             qk_norm=qk_norm)
         from x2i_tpu.ops.rope import apply_rope_half
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
@@ -213,16 +232,39 @@ class FluxDoubleBlock(nn.Module):
         def heads_of(x):
             return x.reshape(batch, -1, heads, head_dim)
 
-        q = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
-                   name="img_q_norm")(heads_of(dense(dim, "img_q")(img_in)))
-        k = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
-                   name="img_k_norm")(heads_of(dense(dim, "img_k")(img_in)))
+        q = heads_of(dense(dim, "img_q")(img_in))
+        k = heads_of(dense(dim, "img_k")(img_in))
         v = heads_of(dense(dim, "img_v")(img_in))
-        cq = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
-                    name="txt_q_norm")(heads_of(dense(dim, "txt_q")(txt_in)))
-        ck = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
-                    name="txt_k_norm")(heads_of(dense(dim, "txt_k")(txt_in)))
+        cq = heads_of(dense(dim, "txt_q")(txt_in))
+        ck = heads_of(dense(dim, "txt_k")(txt_in))
         cv = heads_of(dense(dim, "txt_v")(txt_in))
+        iqn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                     name="img_q_norm")
+        ikn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                     name="img_k_norm")
+        tqn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                     name="txt_q_norm")
+        tkn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                     name="txt_k_norm")
+        qk_norm = None
+        if fused:
+            # per-row (S, D) scale tables: txt rows carry the txt norm
+            # weight, img rows the img one — the norm itself (rsqrt of
+            # the row mean square) runs inside the flash kernel
+            def rows(tw, iw):
+                return jnp.concatenate([
+                    jnp.broadcast_to(tw.astype(jnp.float32),
+                                     (s_txt, head_dim)),
+                    jnp.broadcast_to(iw.astype(jnp.float32),
+                                     (s_img, head_dim))], axis=0)
+            qk_norm = (rows(tqn(cq, scale_only=True),
+                            iqn(q, scale_only=True)),
+                       rows(tkn(ck, scale_only=True),
+                            ikn(k, scale_only=True)),
+                       cfg.qk_norm_eps)
+        else:
+            q, k = iqn(q), ikn(k)
+            cq, ck = tqn(cq), tkn(ck)
 
         # Joint attention: text tokens first, then image tokens, matching
         # FluxAttnProcessor2_0 and the RoPE id order cat(txt_ids, img_ids).
@@ -235,7 +277,7 @@ class FluxDoubleBlock(nn.Module):
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
-        attn = _roped_attention(cfg, q, k, v, rope, impl)
+        attn = _roped_attention(cfg, q, k, v, rope, impl, qk_norm)
         attn = attn.reshape(batch, s_txt + s_img, dim)
         txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
@@ -323,10 +365,20 @@ class FluxSingleBlock(nn.Module):
             x = _modulate(layer_norm(hidden), shift, scale)
 
         batch, seq = hidden.shape[0], hidden.shape[1]
-        q = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype, name="q_norm")(
-            dense(dim, "q")(x).reshape(batch, seq, heads, head_dim))
-        k = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype, name="k_norm")(
-            dense(dim, "k")(x).reshape(batch, seq, heads, head_dim))
+        q = dense(dim, "q")(x).reshape(batch, seq, heads, head_dim)
+        k = dense(dim, "k")(x).reshape(batch, seq, heads, head_dim)
+        qn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                    name="q_norm")
+        kn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
+                    name="k_norm")
+        qk_norm = None
+        if fused:
+            # norm folded into the flash kernel (raw projections are the
+            # only HBM form of q/k); params unchanged
+            qk_norm = (qn(q, scale_only=True), kn(k, scale_only=True),
+                       cfg.qk_norm_eps)
+        else:
+            q, k = qn(q), kn(k)
         v = dense(dim, "v")(x).reshape(batch, seq, heads, head_dim)
 
         q = _shard(q, cfg, ("data", "fsdp"), None, "tensor", None)
@@ -334,7 +386,7 @@ class FluxSingleBlock(nn.Module):
         v = _shard(v, cfg, ("data", "fsdp"), None, "tensor", None)
 
         impl = "auto" if cfg.use_pallas_attention else "xla"
-        attn = _roped_attention(cfg, q, k, v, rope, impl)
+        attn = _roped_attention(cfg, q, k, v, rope, impl, qk_norm)
         attn = attn.reshape(batch, seq, dim)
 
         if fused:

@@ -28,7 +28,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               implementation: str = "auto",
               causal_offset=0,
-              rope=None) -> jnp.ndarray:
+              rope=None, qk_norm=None) -> jnp.ndarray:
     """Multi-head (optionally grouped-query) attention.
 
     Args:
@@ -47,6 +47,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         Pallas path (joint attention, Sq == Skv, non-causal) the rotation
         happens inside the kernel so un-roped projections feed it
         directly; otherwise it is applied here before dispatch.
+      qk_norm: optional (q_scale (D,), k_scale (D,), eps) per-head-dim
+        RMSNorm applied to q/k before rope — inside the kernel on the
+        in-kernel-rope path (inference-only, no vjp), in XLA otherwise.
 
     Returns:
       (B, Sq, Hq, D) in q.dtype.
@@ -72,6 +75,17 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     kernel_rope = (rope is not None and (use_pallas or pad_path)
                    and sq == skv and not causal)
+    if qk_norm is not None and not kernel_rope:
+        # no in-kernel path: apply the norm here (before rope, matching
+        # the module order)
+        from x2i_tpu.ops.norms import rms_norm
+        qw, kw, eps = qk_norm
+        # per-row (S, D) scales broadcast over the head axis of (B,S,H,D)
+        qw = qw if qw.ndim == 1 else qw[:, None, :]
+        kw = kw if kw.ndim == 1 else kw[:, None, :]
+        q = rms_norm(q, qw, eps)
+        k = rms_norm(k, kw, eps)
+        qk_norm = None
     if rope is not None and not kernel_rope:
         from x2i_tpu.ops.rope import apply_rope_half
         cos, sin = rope
@@ -94,10 +108,11 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             # pad keys are masked out, pad q rows are sliced off below
             rope = tuple(jnp.pad(t, ((0, pad_kv), (0, 0))) for t in rope)
         out = fa.flash_attention(qp, kp, vp, kv_mask=mask, causal=False,
-                                 scale=scale, rope=rope)[:, :, :sq]
+                                 scale=scale, rope=rope,
+                                 qk_norm=qk_norm)[:, :, :sq]
     elif use_pallas:
         out = fa.flash_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
-                                 scale=scale, rope=rope)
+                                 scale=scale, rope=rope, qk_norm=qk_norm)
     else:
         out = fa.xla_attention(qt, kt, vt, kv_mask=kv_mask, causal=causal,
                                scale=scale, bias=bias,

@@ -86,9 +86,10 @@ def _rope_bhsd_T(x: jnp.ndarray, cos: jnp.ndarray,
     return out.astype(x.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
-                  lse_ref, krot_ref, *,
-                  scale: float, causal: bool, block_q: int):
+def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
+                  mask_ref, o_ref, lse_ref, krot_ref, *,
+                  scale: float, causal: bool, block_q: int,
+                  qk_norm_eps: float = 1e-6):
     """One (batch, q-head, q-block) program; full KV rows resident.
 
     When cos/sin refs are given (FLUX joint attention), the half-layout
@@ -108,16 +109,47 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
 
         @pl.when(i == 0)
         def _():
-            kf = k_ref[0, 0].astype(jnp.float32)
-            # tables are padded to a block_q multiple (>= skv) so the q
-            # tile's dynamic slice below is never out of bounds; the k
-            # rotation takes the static skv prefix
-            krot_ref[...] = (kf * cos_ref[:skv] +
-                             pltpu.roll(kf, d2, 1) * sin_ref[:skv]
-                             ).astype(krot_ref.dtype)
+            # Rotate (and optionally qk-norm) K into scratch in row CHUNKS:
+            # a whole-KV f32 expression chain (kf, roll, products, norm
+            # squares) costs ~4x skv*d*4B of Mosaic stack — with the norm
+            # it exceeded the 16 MB scoped-vmem limit at 4608 tokens.
+            kc = skv
+            for cand in (512, 256, 128):
+                if skv % cand == 0:
+                    kc = cand
+                    break
+
+            def body(j, carry):
+                rows = pl.ds(j * kc, kc)
+                kf = k_ref[0, 0, rows, :].astype(jnp.float32)
+                if kw_ref is not None:
+                    # fused per-head-dim RMSNorm (qk_norm): row
+                    # rsqrt(mean sq) then the scale — VPU work on rows
+                    # already in VMEM; removes the XLA-side norm pass
+                    # over q/k entirely. Scale ref is (1, D) shared or
+                    # (S_pad, D) per-row (joint streams with different
+                    # norm weights per segment, e.g. FLUX double blocks).
+                    kw = (kw_ref[0] if kw_ref.shape[0] == 1
+                          else kw_ref[rows, :])
+                    var = jnp.mean(kf * kf, axis=-1, keepdims=True)
+                    kf = kf * jax.lax.rsqrt(var + qk_norm_eps) * kw
+                # tables are padded to a block_q multiple (>= skv) so the
+                # q tile's dynamic slice below is never out of bounds
+                krot_ref[rows, :] = (kf * cos_ref[rows, :] +
+                                     pltpu.roll(kf, d2, 1) *
+                                     sin_ref[rows, :]
+                                     ).astype(krot_ref.dtype)
+                return carry
+
+            jax.lax.fori_loop(0, skv // kc, body, 0, unroll=False)
 
         k = krot_ref[...]
         qf = q_ref[0, 0].astype(jnp.float32)
+        if qw_ref is not None:
+            qw = (qw_ref[0] if qw_ref.shape[0] == 1
+                  else qw_ref[pl.ds(i * block_q, block_q), :])
+            var = jnp.mean(qf * qf, axis=-1, keepdims=True)
+            qf = qf * jax.lax.rsqrt(var + qk_norm_eps) * qw
         cq = cos_ref[pl.ds(i * block_q, block_q), :]
         sq = sin_ref[pl.ds(i * block_q, block_q), :]
         q = ((qf * cq + pltpu.roll(qf, d2, 1) * sq) * (scale * LOG2_E)
@@ -147,10 +179,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
 
 def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
                    block_q: int = 256, return_lse: bool = False,
-                   rope=None):
+                   rope=None, qk_norm=None):
     """q: (B, Hq, Sq, D); k, v: (B, Hk, Skv, D); kv_mask: (B, Skv) bool|None.
     rope: optional (cos, sin_signed), each (Skv, D) f32 half-layout tables
-    (sign already folded, see _rope_signed_sin); requires Sq == Skv."""
+    (sign already folded, see _rope_signed_sin); requires Sq == Skv.
+    qk_norm: optional (q_scale (D,), k_scale (D,), eps) — per-head-dim
+    RMSNorm folded into the kernel before the rotation (requires rope)."""
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
@@ -181,6 +215,26 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
                                          lambda b, h, i: (0, 0),
                                          memory_space=pltpu.VMEM))
             args.append(tab)
+    has_qk_norm = qk_norm is not None
+    if has_qk_norm:
+        assert has_rope, "in-kernel qk_norm rides the rope path"
+        qw, kw, qk_eps = qk_norm
+        s_pad = pl.cdiv(sq, block_q) * block_q
+        for w in (qw, kw):
+            w = w.astype(jnp.float32)
+            if w.ndim == 1:                  # shared (D,) scale
+                w = w.reshape(1, d)
+                in_specs.append(pl.BlockSpec((1, d),
+                                             lambda b, h, i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+            else:                            # per-row (S, D) scales
+                w = jnp.pad(w, ((0, s_pad - w.shape[0]), (0, 0)))
+                in_specs.append(pl.BlockSpec((s_pad, d),
+                                             lambda b, h, i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+            args.append(w)
+    else:
+        qk_eps = 1e-6
     has_mask = kv_mask is not None
     if has_mask:
         # rank-3 (B, 1, Skv) so both trailing block dims equal the array's
@@ -210,6 +264,10 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         if has_rope:
             cr, sr = refs[n:n + 2]
             n += 2
+        qwr = kwr = None
+        if has_qk_norm:
+            qwr, kwr = refs[n:n + 2]
+            n += 2
         mr = None
         if has_mask:
             mr = refs[n]
@@ -218,8 +276,9 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         n += 1
         lr = refs[n] if return_lse else None
         krot = refs[-1] if has_rope else None
-        _flash_kernel(qr, kr, vr, cr, sr, mr, orf, lr, krot,
-                      scale=scale, causal=causal, block_q=block_q)
+        _flash_kernel(qr, kr, vr, cr, sr, qwr, kwr, mr, orf, lr, krot,
+                      scale=scale, causal=causal, block_q=block_q,
+                      qk_norm_eps=qk_eps)
 
     out = pl.pallas_call(
         kernel,
@@ -626,21 +685,41 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     kv_mask: Optional[jnp.ndarray] = None,
                     causal: bool = False,
                     scale: Optional[float] = None,
-                    rope=None) -> jnp.ndarray:
+                    rope=None, qk_norm=None) -> jnp.ndarray:
     """Flash attention over (B, H, S, D) tensors. Differentiable (fused
-    Pallas backward).
+    Pallas backward) — except with qk_norm, which is forward-only.
 
     rope: optional (cos, sin) half-layout tables, each (S, D) f32 with
     cos = cat(c, c) / sin = cat(s, s) (flux_rope_freqs_half). The rotary
     embedding is applied to q/k inside the kernel (Sq == Skv only) — the
     projections' outputs go to the kernel un-roped, removing the XLA-side
-    rope pass over both tensors."""
+    rope pass over both tensors.
+
+    qk_norm: optional (q_scale (D,), k_scale (D,), eps): per-head-dim
+    RMSNorm (diffusers qk_norm='rms_norm') folded into the kernel before
+    the rotation, so the raw projections are the only HBM form of q/k.
+    Requires rope; inference-only (no vjp)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if rope is not None:
         cos, sin = rope
         rope = (cos.astype(jnp.float32),
                 _rope_signed_sin(sin.astype(jnp.float32)))
+    if qk_norm is not None:
+        import os
+        assert rope is not None, "qk_norm rides the in-kernel rope path"
+        rope_max_kv = int(os.environ.get("X2I_FA_ROPE_MAX_KV", "6144"))
+        if (k.shape[2] > min(MAX_KV_SEQ, rope_max_kv)
+                or os.environ.get("X2I_FA_FORCE_CHUNKED", "")
+                .lower() not in ("", "0", "false")):
+            # paths that pre-rotate in XLA: normalize in XLA too
+            from x2i_tpu.ops.norms import rms_norm
+            qw, kw, eps = qk_norm
+            return _flash(rms_norm(q, qw, eps), rms_norm(k, kw, eps), v,
+                          kv_mask, rope, causal, scale)
+        bq = int(os.environ.get("X2I_FA_BLOCK_Q", "256"))
+        return _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
+                              block_q=bq, rope=rope, qk_norm=qk_norm)
     return _flash(q, k, v, kv_mask, rope, causal, scale)
 
 
