@@ -86,8 +86,12 @@ def main():
 
     vcfg = VAEConfig()
     vae = AutoencoderKL(vcfg)
+    # params are input-size independent: init on a small latent (a full
+    # 2048^2 init would run the decoder's mid-block attention at 65k
+    # tokens just to create conv params)
     vae_params = vae.init(
-        jax.random.key(0), jnp.zeros((1, grid, grid, vcfg.latent_channels),
+        jax.random.key(0), jnp.zeros((1, min(grid, 128), min(grid, 128),
+                                      vcfg.latent_channels),
                                      jnp.bfloat16), method=vae.decode)
 
     sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
@@ -95,14 +99,27 @@ def main():
     img_ids = prepare_latent_image_ids(grid, grid)
     txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
 
-    def generate(params, vae_params, noise, prompt, pooled):
+    # >1536 px: denoise and the tiled VAE decode run as TWO programs —
+    # one jit's combined buffer liveness at 2048^2 overruns HBM by
+    # ~260 MB even though each half fits comfortably (denoise alone:
+    # 3.35 GiB temp). The latent hand-off is 16 MB.
+    split_vae = px > 1536
+
+    def run_denoise(params, noise, prompt, pooled):
         def model_fn(lat, pr, po, t, iid, tid, g):
             return model.apply(params, lat, pr, po, t, iid, tid)
         lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
                       txt_ids)
         lat = unpack_latents(lat, px, px)                  # (B, C, h, w)
-        return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
-                         method=vae.decode)
+        return jnp.transpose(lat, (0, 2, 3, 1))
+
+    def run_decode(vae_params, lat_nhwc):
+        decode = vae.decode_tiled if split_vae else vae.decode
+        return vae.apply(vae_params, lat_nhwc, method=decode)
+
+    def generate(params, vae_params, noise, prompt, pooled):
+        return run_decode(vae_params,
+                          run_denoise(params, noise, prompt, pooled))
 
     noise = jax.random.normal(jax.random.key(1),
                               (batch, s_img, cfg.in_channels), jnp.bfloat16)
@@ -116,9 +133,20 @@ def main():
     # AOT lower+compile: the runtime-JIT path through this environment's
     # compile relay is pathologically slow for 12B-scale programs; the AOT
     # path compiles the identical program in seconds.
-    generate = (jax.jit(generate)
-                .lower(params, vae_params, noise, prompt, pooled)
-                .compile())
+    if split_vae:
+        jden = (jax.jit(run_denoise)
+                .lower(params, noise, prompt, pooled).compile())
+        lat_shape = jax.eval_shape(run_denoise, params, noise, prompt,
+                                   pooled)
+        jdec = (jax.jit(run_decode)
+                .lower(vae_params, lat_shape).compile())
+
+        def generate(params, vae_params, noise, prompt, pooled):
+            return jdec(vae_params, jden(params, noise, prompt, pooled))
+    else:
+        generate = (jax.jit(generate)
+                    .lower(params, vae_params, noise, prompt, pooled)
+                    .compile())
 
     out = generate(params, vae_params, noise, prompt, pooled)
     out.block_until_ready()                                 # warmup

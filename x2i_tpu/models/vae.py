@@ -216,11 +216,22 @@ class AutoencoderKL(nn.Module):
             return right.at[:, :, :n].set(mixed.astype(right.dtype))
 
         rows = []
+        token = None                   # chains tiles into sequential order
         for i in range(0, h, stride):
             row = []
             for j in range(0, w, stride):
-                row.append(self.decoder(
-                    z[:, i:i + tile_latent, j:j + tile_latent, :]))
+                zt = z[:, i:i + tile_latent, j:j + tile_latent, :]
+                if token is not None:
+                    # Without a data dependency XLA schedules ALL tile
+                    # decodes concurrently — their internal feature maps
+                    # are live at once and 2048^2 overruns HBM by ~15x a
+                    # single tile's need. The barrier makes tile n's input
+                    # depend on tile n-1's output, forcing one-at-a-time
+                    # liveness at the cost of no cross-tile overlap.
+                    zt, _ = jax.lax.optimization_barrier((zt, token))
+                tile = self.decoder(zt)
+                token = tile
+                row.append(tile)
             rows.append(row)
         out_rows = []
         for i, row in enumerate(rows):

@@ -132,14 +132,26 @@ class X2IPipeline:
                           img_ids, txt_ids, guidance_scale=gscale)
             lat = unpack_latents(lat, height, width)
             tile_px = self.gen_cfg.vae_tile_px
-            decode = (self.vae.decode_tiled
-                      if tile_px and max(height, width) > tile_px
-                      else self.vae.decode)
+            if tile_px and max(height, width) > tile_px:
+                # tiled decode runs as a SEPARATE program (see
+                # _decode_tiled_jit): fusing it into this jit makes the
+                # combined buffer liveness overrun HBM at 2048^2 even
+                # though each half fits. Hand back NHWC latents.
+                return jnp.transpose(lat, (0, 2, 3, 1))
             pixels = self.vae.apply(vae_params,
                                     jnp.transpose(lat, (0, 2, 3, 1)),
-                                    method=decode)
+                                    method=self.vae.decode)
             return postprocess(pixels)
 
+        return run
+
+    @functools.cached_property
+    def _decode_tiled_jit(self):
+        @jax.jit
+        def run(vae_params, lat_nhwc):
+            pixels = self.vae.apply(vae_params, lat_nhwc,
+                                    method=self.vae.decode_tiled)
+            return postprocess(pixels)
         return run
 
     def generate(self, pooled: jnp.ndarray, prompt_embeds: jnp.ndarray,
@@ -172,6 +184,9 @@ class X2IPipeline:
         out = self._generate_jit(self.flux_params, self.vae_params,
                                  prompt_embeds, pooled, noise,
                                  control_pixels, height, width, num_steps)
+        tile_px = g.vae_tile_px
+        if tile_px and max(height, width) > tile_px:
+            out = self._decode_tiled_jit(self.vae_params, out)
         return np.asarray(out)
 
     # ---- task surface (inference_minicpm.py:218-335) ----
