@@ -19,6 +19,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from x2i_tpu.core.config import VAEConfig
 
@@ -66,11 +67,35 @@ class MidAttention(nn.Module):
         dense = lambda name: nn.Dense(c, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)
         q, k, v = dense("to_q")(y), dense("to_k")(y), dense("to_v")(y)
-        s = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
-                       k.astype(jnp.float32)) / jnp.sqrt(c).astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bqk,bkc->bqc", p,
-                       v.astype(jnp.float32)).astype(self.dtype)
+
+        # q-chunked attention: the naive einsum materializes (B, HW, HW)
+        # f32 scores — 1 GB per image at the 1024^2 latent grid (16384
+        # spatial tokens), which alone blew HBM at batch 2. Single-head
+        # D=512 is outside the flash kernel's head sizes, so chunk the
+        # softmax over query rows instead; per-chunk scores are
+        # (B, 1024, HW) and the scan keeps exactly one chunk live.
+        scale = 1.0 / float(np.sqrt(c))
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        n = h * w
+        chunk = n
+        for cand in (1024, 512, 256, 128):
+            if n % cand == 0 and n > cand:
+                chunk = cand
+                break
+
+        def one_chunk(qc):
+            s = jnp.einsum("bqc,bkc->bqk", qc.astype(jnp.float32),
+                           kf) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bqk,bkc->bqc", p, vf).astype(self.dtype)
+
+        if chunk == n:
+            o = one_chunk(q)
+        else:
+            qs = q.reshape(b, n // chunk, chunk, c)
+            o = jax.lax.map(one_chunk, jnp.swapaxes(qs, 0, 1))
+            o = jnp.swapaxes(o, 0, 1).reshape(b, n, c)
         o = dense("to_out")(o)
         return x + o.reshape(b, h, w, c)
 
@@ -173,9 +198,25 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, z):
         """scaled latents -> pixels in [-1, 1]; applies
-        z/scaling + shift (inference_minicpm.py:208-212)."""
+        z/scaling + shift (inference_minicpm.py:208-212).
+
+        Batched decode runs one image at a time (barrier-chained like
+        decode_tiled's tiles): the decoder's f32 GroupNorm intermediates
+        at the 1024-px stages are ~3 GB per image, so concurrent
+        per-image subgraphs overrun HBM at batch 2 while sequential
+        decode stays at the batch-1 footprint."""
         z = z / self.cfg.scaling_factor + self.cfg.shift_factor
-        return self.decoder(z)
+        if z.shape[0] == 1 or z.shape[1] * z.shape[2] <= 64 * 64:
+            return self.decoder(z)
+        outs, token = [], None
+        for i in range(z.shape[0]):
+            zi = z[i:i + 1]
+            if token is not None:
+                zi, _ = jax.lax.optimization_barrier((zi, token))
+            out = self.decoder(zi)
+            token = out
+            outs.append(out)
+        return jnp.concatenate(outs, axis=0)
 
     def decode_tiled(self, z, tile_latent: int = 64,
                      overlap: float = 0.25):

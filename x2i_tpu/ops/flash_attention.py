@@ -130,7 +130,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
                     # (S_pad, D) per-row (joint streams with different
                     # norm weights per segment, e.g. FLUX double blocks).
                     kw = (kw_ref[0] if kw_ref.shape[0] == 1
-                          else kw_ref[rows, :])
+                          else kw_ref[rows, :]).astype(jnp.float32)
                     var = jnp.mean(kf * kf, axis=-1, keepdims=True)
                     kf = kf * jax.lax.rsqrt(var + qk_norm_eps) * kw
                 # tables are padded to a block_q multiple (>= skv) so the
@@ -147,7 +147,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
         qf = q_ref[0, 0].astype(jnp.float32)
         if qw_ref is not None:
             qw = (qw_ref[0] if qw_ref.shape[0] == 1
-                  else qw_ref[pl.ds(i * block_q, block_q), :])
+                  else qw_ref[pl.ds(i * block_q, block_q), :]
+                  ).astype(jnp.float32)
             var = jnp.mean(qf * qf, axis=-1, keepdims=True)
             qf = qf * jax.lax.rsqrt(var + qk_norm_eps) * qw
         cq = cos_ref[pl.ds(i * block_q, block_q), :]
@@ -221,14 +222,18 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         qw, kw, qk_eps = qk_norm
         s_pad = pl.cdiv(sq, block_q) * block_q
         for w in (qw, kw):
-            w = w.astype(jnp.float32)
             if w.ndim == 1:                  # shared (D,) scale
-                w = w.reshape(1, d)
+                w = w.astype(jnp.float32).reshape(1, d)
                 in_specs.append(pl.BlockSpec((1, d),
                                              lambda b, h, i: (0, 0),
                                              memory_space=pltpu.VMEM))
             else:                            # per-row (S, D) scales
-                w = jnp.pad(w, ((0, s_pad - w.shape[0]), (0, 0)))
+                # bf16 in VMEM: the norm-scale params are bf16 anyway
+                # (values identical after the in-kernel f32 upcast), and
+                # f32 row tables blew the 16 MB scoped-vmem limit at
+                # batch 2
+                w = jnp.pad(w.astype(jnp.bfloat16),
+                            ((0, s_pad - w.shape[0]), (0, 0)))
                 in_specs.append(pl.BlockSpec((s_pad, d),
                                              lambda b, h, i: (0, 0),
                                              memory_space=pltpu.VMEM))

@@ -55,7 +55,7 @@ def _ln_mod_quant_kernel(x_ref, shift_ref, scale_ref, q_ref, s_ref, *,
     # (ops/norms.layer_norm returns input-dtype), so quantization sees
     # the same values
     y = (xc * jax.lax.rsqrt(var + eps)).astype(x_ref.dtype)
-    m = y * (1.0 + scale_ref[0][None, :]) + shift_ref[0][None, :]
+    m = y * (1.0 + scale_ref[0, 0][None, :]) + shift_ref[0, 0][None, :]
     q, a = _row_quantize(m.astype(jnp.float32))
     q_ref[0] = q
     s_ref[0] = a
@@ -84,8 +84,13 @@ def _rows_call(kernel, x, extra=(), block_rows: int = 256,
     br = min(block_rows, seq)
     grid = (batch, pl.cdiv(seq, br))
     in_specs = [pl.BlockSpec((1, br, dim), lambda b, r: (b, r, 0))]
+    # extras ride as (B, 1, D): a (B, D) array with a (1, D) block violates
+    # Mosaic's last-two-dims rule as soon as B > 1 (1 is neither
+    # 8-divisible nor equal to B); with the unit middle axis the block's
+    # last two dims (1, D) equal the array's for any batch.
+    extra = tuple(e[:, None, :] for e in extra)
     for _ in extra:
-        in_specs.append(pl.BlockSpec((1, dim), lambda b, r: (b, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, dim), lambda b, r: (b, 0, 0)))
     return pl.pallas_call(
         kernel,
         grid=grid,
