@@ -191,3 +191,116 @@ def test_qwen2_quantized_matches_bf16():
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.99, corr
     assert np.isfinite(b).all()
+
+
+# --- w4 (nibble-packed int4, group scales) --------------------------------
+
+
+def test_w4_pack_unpack_roundtrip(rng):
+    from x2i_tpu.ops.quant import _unpack_int4, pack_int4
+
+    q = rng.integers(-8, 8, (32, 16)).astype(np.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (16, 16) and packed.dtype == np.int8
+    got = np.asarray(_unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(got, q)
+
+
+def test_w4_quantize_kernel_roundtrip(rng):
+    from x2i_tpu.ops.quant import _unpack_int4, quantize_kernel_w4
+
+    w = rng.standard_normal((256, 24)).astype(np.float32)
+    p, s = quantize_kernel_w4(w, group=128)
+    assert p.shape == (128, 24) and s.shape == (2, 24)
+    deq = (np.asarray(_unpack_int4(jnp.asarray(p)), np.float32)
+           .reshape(2, 128, 24) * s[:, None, :]).reshape(256, 24)
+    # worst-case error is half a quantization step per group
+    step = np.repeat(s, 128, axis=0) * 1.001
+    assert np.all(np.abs(deq - w) <= step / 2 + 1e-6)
+
+
+def test_w4_quantize_kernel_stacked(rng):
+    from x2i_tpu.ops.quant import quantize_kernel_w4
+
+    w = rng.standard_normal((3, 256, 16)).astype(np.float32)
+    p, s = quantize_kernel_w4(w, group=128)
+    assert p.shape == (3, 128, 16) and s.shape == (3, 2, 16)
+
+
+def test_w4_matmul_matches_dequant(rng):
+    from x2i_tpu.ops.quant import (_unpack_int4, quantize_kernel_w4,
+                                   w4_matmul)
+
+    w = rng.standard_normal((256, 32)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    p, s = quantize_kernel_w4(w, group=64)
+    got = w4_matmul(x, jnp.asarray(p), jnp.asarray(s))
+    deq = (np.asarray(_unpack_int4(jnp.asarray(p)), np.float32)
+           .reshape(4, 64, 32) * s[:, None, :]).reshape(256, 32)
+    want = np.asarray(x) @ deq
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # and the dequantized kernel tracks the fp kernel
+    err = np.abs(deq - w).max()
+    assert err < np.abs(w).max() / 7 + 1e-6
+
+
+def test_w4_dense_gradient(rng):
+    from x2i_tpu.ops.quant import QuantDense, _unpack_int4, quantize_kernel_w4
+
+    w = rng.standard_normal((128, 16)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+    p, s = quantize_kernel_w4(w, group=128)
+    params = {"params": {"pkernel": p, "scale": s,
+                         "bias": np.zeros(16, np.float32)}}
+    layer = QuantDense(16, dtype=jnp.float32, param_dtype=jnp.float32,
+                       mode="w4")
+    y = layer.apply(params, x)
+    deq = (np.asarray(_unpack_int4(jnp.asarray(p)), np.float32)
+           * s[0][None, :])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ deq,
+                               rtol=2e-5, atol=2e-5)
+    dx = jax.grad(lambda x: jnp.sum(layer.apply(params, x) ** 2))(x)
+    want = 2.0 * (np.asarray(x) @ deq) @ deq.T
+    np.testing.assert_allclose(np.asarray(dx), want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4_flux_matches_dequantized_fp(rng):
+    """The w4 FLUX must match the fp model run on the DEQUANTIZED weights
+    exactly (plumbing correctness); int4 quality vs the original weights is
+    only sanity-checked by correlation — tiny random-normal nets are an
+    adversarial case for 4-bit (the real study is tools/quant_quality.py)."""
+    from x2i_tpu.ops.quant import dequantize_tree
+
+    cfg = tiny_flux_config()
+    qcfg = tiny_flux_config(quantized="w4")
+    B, GRID, S_TXT = 1, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    ref = model.apply(params, hidden, encoder, pooled, t, img_ids, txt_ids)
+
+    qtree = quantize_tree(params["params"], mode="w4")
+    qmodel = FluxTransformer2D(qcfg)
+    got = qmodel.apply({"params": qtree}, hidden, encoder, pooled, t,
+                       img_ids, txt_ids)
+
+    deq = model.apply({"params": dequantize_tree(qtree)}, hidden, encoder,
+                      pooled, t, img_ids, txt_ids)
+    want, got = np.asarray(deq, np.float32), np.asarray(got, np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    a, b = np.asarray(ref, np.float32).ravel(), got.ravel()
+    # iid-normal tiny weights + sub-128 dims (per-channel scales) are the
+    # int4 worst case; 0.95 just guards against sign/packing bugs.
+    assert np.corrcoef(a, b)[0, 1] > 0.95

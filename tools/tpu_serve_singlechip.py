@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Single-chip END-TO-END serving probe: int8 MLLM encoder + int8 12B DiT
++ VAE resident on ONE v5e, full request path timed.
+
+The reference serves from an 80 GB A100 holding the MLLM (bf16) plus FLUX
+(bf16) (/root/reference/infer/inference_qwenvl.py). On a 16 GB chip that
+only works quantized: Qwen2Config.quantized="w8a8" puts the encoder at
+~1 byte/param next to the int8 DiT (ops/quant.py). This probe builds the
+InternVL2.5-1B encoder LM (Qwen2.5-0.5B shape, SURVEY §2.10: 25
+hidden-state channels; X2I_SERVE_LM=3b for the Qwen3B shape, which does
+NOT fit — see inline note), the full-size FLUX and the VAE
+with pattern weights, and times prefill -> proj -> 4-step denoise -> VAE
+decode at 1024^2 as three AOT programs sharing the chip.
+
+Env: X2I_SERVE_PX (default 1024), X2I_SERVE_PREFILL (text tokens, 512).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from x2i_tpu.core.config import (FluxConfig, ProjConfig, Qwen2Config,
+                                     SchedulerConfig, VAEConfig)
+    from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
+                                   prepare_latent_image_ids, unpack_latents)
+    from x2i_tpu.models.flux import FluxTransformer2D
+    from x2i_tpu.models.proj import Proj
+    from x2i_tpu.models.qwen2 import Qwen2LM
+    from x2i_tpu.models.vae import AutoencoderKL
+    from __graft_entry__ import _full_size_quantized_flux_params
+
+    def _pattern_params(model, example, *args):
+        """Full-size params without tracing init at scale: eval_shape then
+        pattern-fill (int8 iota pattern, norm scales one, tiny bf16 embed
+        values — same matmul cost as real weights)."""
+        import functools
+
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), example, *args))
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def _int8(shape):
+            flat = jax.lax.broadcasted_iota(jnp.int32, shape,
+                                            len(shape) - 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, shape,
+                                           max(len(shape) - 2, 0))
+            return ((flat * 31 + row * 7) % 251 - 125).astype(jnp.int8)
+
+        def make(path, leaf):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if leaf.dtype == jnp.int8:
+                return _int8(leaf.shape)
+            if leaf.dtype == jnp.float32 and "scale" in name:
+                return jnp.full(leaf.shape, 2e-4, jnp.float32)
+            if "embed" in name:
+                flat = jax.lax.broadcasted_iota(jnp.int32, leaf.shape,
+                                                leaf.ndim - 1)
+                return (((flat * 13) % 61 - 30) / 600.0).astype(leaf.dtype)
+            if "norm" in name and leaf.ndim == 1:
+                return jnp.ones(leaf.shape, leaf.dtype)
+            return jnp.zeros(leaf.shape, leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(make, shapes)
+
+    px = int(os.environ.get("X2I_SERVE_PX", "1024"))
+    s_txt = int(os.environ.get("X2I_SERVE_PREFILL", "512"))
+    print(f"backend: {jax.default_backend()}  px={px} prefill={s_txt}",
+          flush=True)
+
+    # --- encoder, int8. Default: the InternVL2.5-1B LM (Qwen2.5-0.5B
+    # shape = Qwen2Config defaults) — 0.9 GiB int8, the encoder family
+    # that FITS next to the 12B DiT on one chip. X2I_SERVE_LM=3b builds
+    # the Qwen2.5-3B shape instead (3.17 GiB int8): params alone then
+    # reach 14.25 GiB and generate's ~1.9 GiB temps no longer fit — that
+    # configuration needs a second chip or 4-bit DiT weights. ---
+    if os.environ.get("X2I_SERVE_LM", "0_5b") == "3b":
+        lm_cfg = Qwen2Config(
+            vocab_size=151936, hidden_size=2048, intermediate_size=11008,
+            num_hidden_layers=36, num_attention_heads=16,
+            num_key_value_heads=2, head_dim=128, quantized="w8a8")
+    else:
+        lm_cfg = Qwen2Config(quantized="w8a8")
+    lm = Qwen2LM(lm_cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, lm_cfg.vocab_size, (1, s_txt)), jnp.int32)
+    lm_params = _pattern_params(lm, ids)
+    n_bytes = sum(x.size * x.dtype.itemsize
+                  for x in jax.tree_util.tree_leaves(lm_params))
+    print(f"encoder params: {n_bytes/2**30:.2f} GiB", flush=True)
+
+    # --- proj (Qwen3B: 37 channels, hidden 2048) ---
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size)
+    proj = Proj(proj_cfg)
+    proj_params = proj.init(
+        jax.random.key(0),
+        jnp.zeros((1, proj_cfg.in_channels, s_txt, proj_cfg.input_dim),
+                  jnp.bfloat16))
+
+    # --- DiT + VAE ---
+    flux_cfg = FluxConfig(quantized="w8a8", guidance_embeds=False,
+                          fused_glue=True)
+    flux = FluxTransformer2D(flux_cfg)
+    grid = px // 8
+    s_img = (grid // 2) ** 2
+    flux_params = _full_size_quantized_flux_params(flux, flux_cfg, s_img,
+                                                   s_txt)
+    vcfg = VAEConfig()
+    vae = AutoencoderKL(vcfg)
+    vae_params = vae.init(
+        jax.random.key(0), jnp.zeros((1, min(grid, 128), min(grid, 128),
+                                      vcfg.latent_channels), jnp.bfloat16),
+        method=vae.decode)
+
+    sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+    sigmas = sched.inference_sigmas(4)
+    img_ids = prepare_latent_image_ids(grid, grid)
+    txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
+
+    def encode(lm_params, proj_params, ids):
+        states, _ = lm.apply(lm_params, ids)       # (1, C, S, H)
+        return proj.apply(proj_params, states)     # (pooled, seq)
+
+    def generate(flux_params, vae_params, noise, prompt, pooled):
+        def model_fn(lat, pr, po, t, iid, tid, g):
+            return flux.apply(flux_params, lat, pr, po, t, iid, tid)
+        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
+                      txt_ids)
+        lat = unpack_latents(lat, px, px)
+        return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
+                         method=vae.decode)
+
+    noise = jax.random.normal(jax.random.key(1),
+                              (1, s_img, flux_cfg.in_channels),
+                              jnp.bfloat16)
+    t0 = time.perf_counter()
+    jenc = jax.jit(encode).lower(lm_params, proj_params, ids).compile()
+    pooled_s, seq_s = jax.eval_shape(encode, lm_params, proj_params, ids)
+    jgen = (jax.jit(generate)
+            .lower(flux_params, vae_params, noise, seq_s, pooled_s)
+            .compile())
+    print(f"compile: {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def request():
+        pooled, seq = jenc(lm_params, proj_params, ids)
+        return jgen(flux_params, vae_params, noise, seq, pooled)
+
+    img = request()
+    jax.block_until_ready(img)
+    assert bool(jnp.isfinite(img.astype(jnp.float32)).all())
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = request()
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"end-to-end request (prefill {s_txt} tok + proj + 4-step "
+          f"{px}^2 + VAE) on ONE chip: {dt*1000:.0f} ms "
+          f"({1/dt:.3f} req/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

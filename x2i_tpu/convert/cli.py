@@ -9,7 +9,7 @@ import) at every startup; this converts once:
       --src <hf_dir> --dst out/mllm
   python -m x2i_tpu.convert.cli proj   --model x2i-internvl2.5-1b \
       --src proj.bin --dst out/proj
-  (--quantize w8|w8a8 stores int8 kernels for single-chip serving)
+  (--quantize w8|w8a8|w4 stores int8/int4 kernels for single-chip serving)
 
 Load back with load_native(dst).
 """
@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     p.add_argument("--dst", required=True)
     p.add_argument("--model", default="x2i-internvl2.5-1b",
                    help="registry name (for flux/mllm/proj configs)")
-    p.add_argument("--quantize", choices=("w8", "w8a8"), default=None)
+    p.add_argument("--quantize", choices=("w8", "w8a8", "w4"), default=None)
     args = p.parse_args(argv)
 
     from x2i_tpu.core.config import MODEL_REGISTRY, VAEConfig
@@ -59,7 +59,7 @@ def main(argv=None) -> int:
         tree = T.flux_params_from_diffusers(sd, entry["flux"])
         if args.quantize:
             from x2i_tpu.ops.quant import quantize_tree
-            tree = quantize_tree(tree)
+            tree = quantize_tree(tree, mode=args.quantize)
     elif args.kind == "vae":
         sd = L.load_safetensors_dir(os.path.join(args.src, "vae")
                                     if os.path.isdir(os.path.join(

@@ -408,7 +408,7 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
                                     mllm_path: str, proj_path: str,
                                     num_steps: int = 4, height: int = 1024,
                                     width: int = 1024, seed: int = 0,
-                                    quantized: bool = True):
+                                    quantized=True):
     """Assemble a full X2IPipeline from on-disk checkpoints for any of the
     three encoder families (internvl / qwenvl / minicpm registry names)."""
     from x2i_tpu.diffusion.scheduler import FlowMatchEulerScheduler
@@ -421,7 +421,7 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
     entry = MODEL_REGISTRY[model]
     flux_cfg: FluxConfig = entry["flux"]
     if quantized:
-        flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": True})
+        flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": quantized})
     proj_cfg: ProjConfig = entry["proj"]
     mllm_cfg = entry["mllm"]
     sched_cfg: SchedulerConfig = entry["scheduler"]
@@ -431,7 +431,9 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
     flux_params = flux_params_from_diffusers(flux_sd, flux_cfg)
     del flux_sd
     if quantized:
-        flux_params = quantize_tree(flux_params)
+        flux_params = quantize_tree(
+            flux_params,
+            mode=quantized if isinstance(quantized, str) else "w8")
     vae_sd = load_safetensors_dir(os.path.join(flux_path, "vae"))
     vae_params = vae_params_from_diffusers(vae_sd, vae_cfg)
     del vae_sd

@@ -118,6 +118,77 @@ def _w8_fwd(x, qkernel, scale):
 w8_matmul.defvjp(_w8_fwd, _w8a8_bwd)
 
 
+# --- int4 (w4) weight-only mode -------------------------------------------
+#
+# Halves weight bytes again vs w8: the 11.9B-param DiT drops from 11.9 GB
+# to ~6.0 GB + group scales, which is what lets the Qwen2.5-3B-class
+# encoder colocate with the full DiT on one 16 GB chip (see
+# tools/tpu_serve_singlechip.py). Per-(group-of-128-input-rows, out-channel)
+# scales keep the quality loss far below per-channel int4.
+#
+# Storage is NIBBLE-PACKED int8 — two int4 codes per byte along the input
+# dim — because jnp.int4 arrays cannot cross a jit boundary in this jax
+# version (passing one as an argument raises RecursionError; verified
+# 2026-08-18). int8 params work everywhere, and the unpack is two VPU
+# shifts fused into the dequant.
+
+
+def _w4_group(in_features: int, group: int) -> int:
+    """Largest usable group size: `group` when it divides the input dim,
+    else the whole input dim (per-channel scales)."""
+    return group if group and in_features % group == 0 else in_features
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """int8 (..., in//2, out) with two's-complement nibbles -> int8
+    (..., in, out) values in [-8, 7]. Row 2i is the low nibble, 2i+1 the
+    high nibble. Shifts sign-extend (arithmetic >> on signed int8)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    w = jnp.stack([lo, hi], axis=-2)                # (..., in//2, 2, out)
+    return w.reshape(*packed.shape[:-2], 2 * packed.shape[-2],
+                     packed.shape[-1])
+
+
+def _dequant_w4(pkernel, scale, dtype):
+    """packed int8 (in//2, out) + f32 scale (G, out) -> dtype (in, out)."""
+    w = _unpack_int4(pkernel).astype(dtype)          # (..., in, out)
+    inn, out = w.shape[-2], w.shape[-1]
+    groups = scale.shape[-2]
+    w = w.reshape(*w.shape[:-2], groups, inn // groups, out)
+    w = w * scale[..., :, None, :].astype(dtype)
+    return w.reshape(*pkernel.shape[:-2], inn, out)
+
+
+@jax.custom_vjp
+def w4_matmul(x, pkernel, scale):
+    """Weight-only int4 matmul: unpack nibbles, dequantize per
+    (input-group, out-channel), bf16 MXU compute. Same backward treatment
+    as w8_matmul (dx against the dequantized kernel, contracted on W's out
+    dim so no W^T relayout copies hoist out of layer scans)."""
+    return jnp.dot(x, _dequant_w4(pkernel, scale, x.dtype))
+
+
+def _w4_fwd(x, pkernel, scale):
+    return (w4_matmul(x, pkernel, scale),
+            (jnp.zeros((0,), x.dtype), pkernel, scale))
+
+
+def _w4_bwd(res, dy):
+    x_sentinel, pkernel, scale = res
+    x_dtype = x_sentinel.dtype
+    pk = jax.lax.optimization_barrier(pkernel)
+    w = _dequant_w4(pk, scale, x_dtype)                      # (in, out)
+    dx = jax.lax.dot_general(
+        dy.astype(x_dtype), w, (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_dtype)
+    return (dx, np.zeros(pkernel.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+w4_matmul.defvjp(_w4_fwd, _w4_bwd)
+
+
 class QuantDense(nn.Module):
     """Drop-in nn.Dense replacement storing int8 kernel + per-channel scale.
 
@@ -131,12 +202,17 @@ class QuantDense(nn.Module):
       "w8a8" — dynamic per-token activation quantization; the matmul runs
                int8 x int8 -> int32 on the MXU (2x bf16 rate on v5e), then
                rescales by (row_scale x channel_scale).
+      "w4"   — nibble-packed int4 weights with per-(group, channel) scales;
+               bf16 MXU compute. Param layout: pkernel int8 (in//2, out),
+               scale f32 (ceil(in/group), out). Capacity mode: half the
+               weight bytes of w8.
     """
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     mode: str = "w8"
+    group: int = 128                 # w4 input-group size for scales
 
     @nn.compact
     def __call__(self, x):
@@ -151,6 +227,24 @@ class QuantDense(nn.Module):
             else None
         in_features = (sum(c[0].shape[-1] for c in chunks) if prequant
                        else x.shape[-1])
+        if self.mode == "w4":
+            if prequant:
+                raise ValueError("pre-quantized input requires mode w8a8")
+            if in_features % 2:
+                raise ValueError("w4 needs an even input dim")
+            g = _w4_group(in_features, self.group)
+            pkernel = self.param(
+                "pkernel", nn.initializers.zeros,
+                (in_features // 2, self.features), jnp.int8)
+            gscale = self.param(
+                "scale", nn.initializers.ones,
+                (in_features // g, self.features), jnp.float32)
+            y = w4_matmul(x.astype(self.dtype), pkernel, gscale)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(self.dtype)
+            return y
         qkernel = self.param(
             "qkernel", nn.initializers.zeros, (in_features, self.features),
             jnp.int8)
@@ -181,7 +275,7 @@ class QuantDense(nn.Module):
 
 def make_dense(quantized, dtype, param_dtype):
     """Dense factory: nn.Dense or QuantDense with identical call signature.
-    quantized: False | True ("w8") | "w8" | "w8a8"."""
+    quantized: False | True ("w8") | "w8" | "w8a8" | "w4"."""
     if quantized:
         mode = quantized if isinstance(quantized, str) else "w8"
         return lambda features, name, use_bias=True: QuantDense(
@@ -190,6 +284,55 @@ def make_dense(quantized, dtype, param_dtype):
     return lambda features, name, use_bias=True: nn.Dense(
         features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
         name=name)
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """int8 codes in [-8, 7], (..., in, out) -> nibble-packed int8
+    (..., in//2, out). Row 2i -> low nibble, row 2i+1 -> high nibble."""
+    lo = q[..., 0::2, :].astype(np.uint8) & 0x0F
+    hi = (q[..., 1::2, :].astype(np.uint8) & 0x0F) << 4
+    return (lo | hi).view(np.int8)
+
+
+def quantize_kernel_w4(kernel: np.ndarray, group: int = 128):
+    """Symmetric int4 with per-(input-group, out-channel) scales.
+    kernel (..., in, out) -> (pkernel int8 (..., in//2, out),
+    scale f32 (..., in//g, out)). Codes clip to [-7, 7] (symmetric)."""
+    k = np.asarray(kernel, np.float32)
+    inn, out = k.shape[-2], k.shape[-1]
+    if inn % 2:
+        raise ValueError("w4 needs an even input dim")
+    g = _w4_group(inn, group)
+    kg = k.reshape(*k.shape[:-2], inn // g, g, out)
+    amax = np.max(np.abs(kg), axis=-2, keepdims=True)     # (..., G, 1, out)
+    scale = np.maximum(amax / 7.0, 1e-12)
+    q = np.clip(np.round(kg / scale), -7, 7).astype(np.int8)
+    q = q.reshape(*k.shape[:-2], inn, out)
+    return pack_int4(q), np.squeeze(scale, axis=-2).astype(np.float32)
+
+
+def dequantize_tree(params) -> Dict:
+    """Inverse plumbing of quantize_tree: rewrite qkernel/pkernel+scale
+    leaves back to f32 'kernel' leaves (exact — the rounding loss happened
+    at quantize time). Lets tests and converters run the fp model on the
+    weights a quantized model actually uses."""
+    if isinstance(params, dict):
+        if "qkernel" in params and "scale" in params:
+            q = np.asarray(params["qkernel"], np.float32)
+            kernel = q * np.asarray(params["scale"], np.float32)[..., None, :]
+            new = {"kernel": kernel}
+        elif "pkernel" in params and "scale" in params:
+            kernel = np.asarray(_dequant_w4(
+                jnp.asarray(params["pkernel"]),
+                jnp.asarray(params["scale"]), jnp.float32))
+            new = {"kernel": kernel}
+        else:
+            return {k: dequantize_tree(v) for k, v in params.items()}
+        for extra, ev in params.items():
+            if extra not in ("qkernel", "pkernel", "scale"):
+                new[extra] = ev
+        return new
+    return params
 
 
 def quantize_kernel(kernel: np.ndarray):
@@ -203,23 +346,28 @@ def quantize_kernel(kernel: np.ndarray):
     return q, np.squeeze(scale, axis=-2)
 
 
-def quantize_tree(params) -> Dict:
+def quantize_tree(params, mode: str = "w8", group: int = 128) -> Dict:
     """Rewrite a flax params tree: every 2D/3D 'kernel' becomes
-    qkernel+scale (QuantDense layout). Conv kernels (4D+) and other leaves
-    pass through."""
+    qkernel+scale (int8 modes) or pkernel+scale (w4) in QuantDense layout.
+    Conv kernels (4D+) and other leaves pass through."""
     if isinstance(params, dict):
         out = {}
         for name, val in params.items():
             if (isinstance(val, dict) and "kernel" in val
                     and not isinstance(val["kernel"], dict)
                     and getattr(val["kernel"], "ndim", 0) in (2, 3)):
-                q, s = quantize_kernel(np.asarray(val["kernel"]))
-                new = {"qkernel": q, "scale": s.astype(np.float32)}
+                k = np.asarray(val["kernel"])
+                if mode == "w4":
+                    q, s = quantize_kernel_w4(k, group)
+                    new = {"pkernel": q, "scale": s}
+                else:
+                    q, s = quantize_kernel(k)
+                    new = {"qkernel": q, "scale": s.astype(np.float32)}
                 for extra, ev in val.items():
                     if extra != "kernel":
                         new[extra] = ev
                 out[name] = new
             else:
-                out[name] = quantize_tree(val)
+                out[name] = quantize_tree(val, mode, group)
         return out
     return params
