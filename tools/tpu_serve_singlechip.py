@@ -12,7 +12,15 @@ NOT fit — see inline note), the full-size FLUX and the VAE
 with pattern weights, and times prefill -> proj -> 4-step denoise -> VAE
 decode at 1024^2 as three AOT programs sharing the chip.
 
-Env: X2I_SERVE_PX (default 1024), X2I_SERVE_PREFILL (text tokens, 512).
+Env: X2I_SERVE_PX (default 1024), X2I_SERVE_PREFILL (text tokens, 512),
+X2I_SERVE_LM (0_5b|3b), X2I_SERVE_DIT_QUANT (w8a8|w8|w4).
+
+Measured 2026-08-18 (v5e, prefill 512, 1024^2 4-step):
+  0_5b + w8a8 DiT : 1366 ms/request (0.732 req/s)  — int8 MXU DiT
+  3b   + w4 DiT   : 2904 ms/request (0.344 req/s)  — bf16 MXU on int4
+                    weights; the ONLY way this encoder/DiT pair fits
+                    one 16 GB chip (w8a8 DiT + 3B encoder = 14.25 GiB
+                    params -> OOM on generate temps).
 """
 import os
 import sys
@@ -81,10 +89,11 @@ def main():
 
     # --- encoder, int8. Default: the InternVL2.5-1B LM (Qwen2.5-0.5B
     # shape = Qwen2Config defaults) — 0.9 GiB int8, the encoder family
-    # that FITS next to the 12B DiT on one chip. X2I_SERVE_LM=3b builds
-    # the Qwen2.5-3B shape instead (3.17 GiB int8): params alone then
-    # reach 14.25 GiB and generate's ~1.9 GiB temps no longer fit — that
-    # configuration needs a second chip or 4-bit DiT weights. ---
+    # that FITS next to the int8 12B DiT on one chip. X2I_SERVE_LM=3b
+    # builds the Qwen2.5-3B shape instead (3.17 GiB int8): next to the
+    # w8a8 DiT params alone reach 14.25 GiB and generate's ~1.9 GiB
+    # temps no longer fit — for that pair set X2I_SERVE_DIT_QUANT=w4
+    # (nibble-packed int4 DiT, ~6 GiB, bf16 MXU compute). ---
     if os.environ.get("X2I_SERVE_LM", "0_5b") == "3b":
         lm_cfg = Qwen2Config(
             vocab_size=151936, hidden_size=2048, intermediate_size=11008,
@@ -110,8 +119,10 @@ def main():
                   jnp.bfloat16))
 
     # --- DiT + VAE ---
-    flux_cfg = FluxConfig(quantized="w8a8", guidance_embeds=False,
+    dit_quant = os.environ.get("X2I_SERVE_DIT_QUANT", "w8a8")
+    flux_cfg = FluxConfig(quantized=dit_quant, guidance_embeds=False,
                           fused_glue=True)
+    print(f"dit quant: {dit_quant}", flush=True)
     flux = FluxTransformer2D(flux_cfg)
     grid = px // 8
     s_img = (grid // 2) ** 2
