@@ -73,7 +73,8 @@ def realistic_acts(rng, batch, seq, d, outlier_factor=1.0,
 def per_op_study(rng):
     import jax.numpy as jnp
 
-    from x2i_tpu.ops.quant import quantize_kernel, w8_matmul, w8a8_matmul
+    from x2i_tpu.ops.quant import (quantize_kernel, quantize_kernel_w4,
+                                   w4_matmul, w8_matmul, w8a8_matmul)
 
     out = {}
     d_in, d_out, seq = 3072, 3072, 512
@@ -82,14 +83,18 @@ def per_op_study(rng):
             k = realistic_kernel(rng, d_in, d_out, w_out)
             x = realistic_acts(rng, 1, seq, d_in, a_out)
             qk, scale = quantize_kernel(k)
+            pk, gscale = quantize_kernel_w4(k)
             ref = x.astype(np.float32) @ k
             w8 = w8_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qk),
                            jnp.asarray(scale))
             w8a8 = w8a8_matmul(jnp.asarray(x, jnp.bfloat16),
                                jnp.asarray(qk), jnp.asarray(scale))
+            w4 = w4_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(pk),
+                           jnp.asarray(gscale))
             key = f"w_outlier={w_out}_a_outlier={a_out}"
             out[key] = {"w8_rel_err": rel_err(w8, ref),
-                        "w8a8_rel_err": rel_err(w8a8, ref)}
+                        "w8a8_rel_err": rel_err(w8a8, ref),
+                        "w4_rel_err": rel_err(w4, ref)}
     return out
 
 
@@ -141,7 +146,7 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
         if quant:
             c = FluxConfig(**base, quantized=quant)
             m = FluxTransformer2D(c)
-            p = {"params": quantize_tree(params["params"])}
+            p = {"params": quantize_tree(params["params"], mode=quant)}
         else:
             m, p = model, params
 
@@ -155,13 +160,14 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
     ref = run(False)
     w8 = run("w8")
     w8a8 = run("w8a8")
+    w4 = run("w4")
 
     # single-forward drift vs 4-step drift -> amplification per step
     def fwd(quant):
         if quant:
             c = FluxConfig(**base, quantized=quant)
             m = FluxTransformer2D(c)
-            p = {"params": quantize_tree(params["params"])}
+            p = {"params": quantize_tree(params["params"], mode=quant)}
         else:
             m, p = model, params
         return np.asarray(jax.jit(m.apply)(
@@ -177,6 +183,7 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
             "w8_rel_err": rel_err(w8, ref), "w8_corr": corr(w8, ref),
             "w8a8_rel_err": rel_err(w8a8, ref),
             "w8a8_corr": corr(w8a8, ref),
+            "w4_rel_err": rel_err(w4, ref), "w4_corr": corr(w4, ref),
         },
     }
 
