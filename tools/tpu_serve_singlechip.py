@@ -13,14 +13,21 @@ with pattern weights, and times prefill -> proj -> 4-step denoise -> VAE
 decode at 1024^2 as three AOT programs sharing the chip.
 
 Env: X2I_SERVE_PX (default 1024), X2I_SERVE_PREFILL (text tokens, 512),
-X2I_SERVE_LM (0_5b|3b), X2I_SERVE_DIT_QUANT (w8a8|w8|w4).
+X2I_SERVE_LM (0_5b|3b|7b), X2I_SERVE_LM_QUANT (w8a8|w8|w4),
+X2I_SERVE_DIT_QUANT (w8a8|w8|w4).
 
 Measured 2026-08-18 (v5e, prefill 512, 1024^2 4-step):
-  0_5b + w8a8 DiT : 1366 ms/request (0.732 req/s)  — int8 MXU DiT
-  3b   + w4 DiT   : 2904 ms/request (0.344 req/s)  — bf16 MXU on int4
-                    weights; the ONLY way this encoder/DiT pair fits
-                    one 16 GB chip (w8a8 DiT + 3B encoder = 14.25 GiB
-                    params -> OOM on generate temps).
+  0_5b + w8a8 DiT      : 1366 ms/request (0.732 req/s)  — int8 MXU DiT
+  3b   + w4 DiT        : 2904 ms/request (0.344 req/s)  — bf16 MXU on int4
+                         weights; the ONLY way this encoder/DiT pair fits
+                         one 16 GB chip (w8a8 DiT + 3B encoder = 14.25 GiB
+                         params -> OOM on generate temps).
+  7b w8a8 + w4 DiT     : 2919 ms/request (0.343 req/s)  — the reference's
+                         FLAGSHIP encoder (Qwen2.5-7B, 7.10 GiB int8) next
+                         to the 12B DiT (~6 GiB int4) on one 16 GB chip; in
+                         bf16 this pair needs ~39 GiB (an 80 GB A100 in the
+                         reference). Request time is DiT-bound: identical
+                         to the 3B pair — the prefill rides along free.
 """
 import os
 import sys
@@ -94,13 +101,23 @@ def main():
     # w8a8 DiT params alone reach 14.25 GiB and generate's ~1.9 GiB
     # temps no longer fit — for that pair set X2I_SERVE_DIT_QUANT=w4
     # (nibble-packed int4 DiT, ~6 GiB, bf16 MXU compute). ---
-    if os.environ.get("X2I_SERVE_LM", "0_5b") == "3b":
+    lm_kind = os.environ.get("X2I_SERVE_LM", "0_5b")
+    lm_quant = os.environ.get("X2I_SERVE_LM_QUANT", "w8a8")
+    if lm_kind == "3b":
         lm_cfg = Qwen2Config(
             vocab_size=151936, hidden_size=2048, intermediate_size=11008,
             num_hidden_layers=36, num_attention_heads=16,
-            num_key_value_heads=2, head_dim=128, quantized="w8a8")
+            num_key_value_heads=2, head_dim=128, quantized=lm_quant)
+    elif lm_kind == "7b":
+        # Qwen2.5-7B — the reference's flagship X2I encoder
+        # (/root/reference/infer/inference_qwenvl.py). Only fits next to
+        # the 12B DiT with X2I_SERVE_DIT_QUANT=w4 (and w4 or w8a8 LM).
+        lm_cfg = Qwen2Config(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28,
+            num_key_value_heads=4, head_dim=128, quantized=lm_quant)
     else:
-        lm_cfg = Qwen2Config(quantized="w8a8")
+        lm_cfg = Qwen2Config(quantized=lm_quant)
     lm = Qwen2LM(lm_cfg)
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, lm_cfg.vocab_size, (1, s_txt)), jnp.int32)
