@@ -135,3 +135,20 @@ def test_lightcontrol_step_trains_controls_only(rng):
     moved = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), bank, state.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_control_bank_scan_matches_vmap(rng):
+    cfg = tiny_control()
+    bank = init_control_bank(cfg, 3, jax.random.key(0), image_size=32)
+    px = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    t = jnp.full((1,), 100.0)
+    out_vmap = apply_control_bank(cfg, bank, px, t, impl="vmap")
+    out_scan = apply_control_bank(cfg, bank, px, t, impl="scan")
+    # vmap and sequential lower to different conv fusions; f32-level only
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_vmap),
+                               atol=1e-4, rtol=1e-4)
+    # gradients flow through the remat'd sequential path
+    g = jax.grad(lambda b: jnp.sum(
+        apply_control_bank(cfg, b, px, t, impl="scan") ** 2))(bank)
+    assert max(float(jnp.abs(x).max())
+               for x in jax.tree_util.tree_leaves(g)) > 0

@@ -298,6 +298,14 @@ class LightControlConfig:
     gradient_accumulation_steps: int = 8
     max_grad_norm: float = 1.0
     num_controls: int = 19           # one ControlNeXt per double block
+    # "scan" = sequential branches + per-branch remat (fits full size on a
+    # 16 GB chip); "vmap" = batched (fine at test sizes). See
+    # models/controlnext.py::apply_control_bank.
+    control_bank_impl: str = "scan"
+    # fp8-moment AdamW (train/optim8bit.py) — the single-chip-fit knob;
+    # the reference compresses phase-2 optimizer state by ZeRO-2-sharding
+    # it across 8 GPUs instead (lightcontrol/accelerate_config_debug.yaml)
+    use_8bit_adam: bool = False
     logit_mean: float = 0.0
     logit_std: float = 1.0
     weighting_scheme: str = "logit_normal"

@@ -120,13 +120,24 @@ def init_control_bank(cfg: ControlNeXtConfig, num_controls: int,
 
 def apply_control_bank(cfg: ControlNeXtConfig, stacked_params,
                        sample: jnp.ndarray,
-                       timestep: jnp.ndarray) -> jnp.ndarray:
+                       timestep: jnp.ndarray,
+                       impl: str = "vmap") -> jnp.ndarray:
     """Run all branches on the same (sample, timestep):
     -> (num_controls, B, tokens, final_out_channels), scan-ready for the
-    FLUX double blocks."""
+    FLUX double blocks.
+
+    impl: "vmap" runs the branches batched — fastest at small sizes, but
+    at the real operating point (19 branches, 1024^2 guidance pixels) the
+    jointly-live stem activations are ~2.4 GiB per conv site and the
+    training backward OOMs a 16 GB chip. "scan" runs branches sequentially
+    with per-branch rematerialization: peak memory = ONE branch's
+    activations, backward recomputes them (the branch costs ~1% of the
+    frozen-DiT step it feeds)."""
     model = ControlNeXt(cfg)
 
     def one(params):
         return model.apply(params, sample, timestep)["out"]
 
+    if impl == "scan":
+        return jax.lax.map(jax.checkpoint(one), stacked_params)
     return jax.vmap(one)(stacked_params)

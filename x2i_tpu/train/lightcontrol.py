@@ -43,9 +43,14 @@ class ControlTrainState(NamedTuple):
 
 def make_lightcontrol_optimizer(ccfg: LightControlConfig
                                 ) -> optax.GradientTransformation:
+    if ccfg.use_8bit_adam:
+        from x2i_tpu.train.optim8bit import adamw8bit
+        adam = adamw8bit(ccfg.learning_rate)
+    else:
+        adam = optax.adamw(ccfg.learning_rate)
     opt = optax.chain(
         optax.clip_by_global_norm(ccfg.max_grad_norm),
-        optax.adamw(ccfg.learning_rate),
+        adam,
     )
     if ccfg.gradient_accumulation_steps > 1:
         opt = optax.MultiSteps(opt, ccfg.gradient_accumulation_steps)
@@ -54,7 +59,7 @@ def make_lightcontrol_optimizer(ccfg: LightControlConfig
 
 def make_lightcontrol_step(
         flux_apply: Callable,        # frozen DiT fwd (accepts controls=)
-        vae_encode: Callable,        # (pixels NHWC, rng) -> latents NHWC
+        vae_encode: Optional[Callable],  # (pixels NHWC, rng) -> latents NHWC
         conditioning_fn: Callable,   # (batch) -> (pooled, prompt_embeds)
         control_cfg: ControlNeXtConfig,
         flux_cfg: FluxConfig,
@@ -66,6 +71,13 @@ def make_lightcontrol_step(
 
     batch: {"style_pixels": (B, H, W, 3) in [-1,1] target/style image,
             + whatever conditioning_fn needs (token ids, condition image)}.
+
+    vae_encode=None: batch must carry precomputed "latents" (B, h, w, C)
+    — the VAE encoder runs as its OWN program and hands off the 1 MB
+    latent instead of joining this jit. At the 1024^2 operating point the
+    encoder's full-resolution conv buffers otherwise co-reside with the
+    12B DiT backward and tip a 16 GB chip over HBM
+    (tools/tpu_lightcontrol_bench.py measures both ways).
     """
     sched = FlowMatchEulerScheduler(sched_cfg)
     n_train = sched_cfg.num_train_timesteps
@@ -80,7 +92,8 @@ def make_lightcontrol_step(
         r_vae, r_t, r_noise = jax.random.split(rng, 3)
 
         # frozen preamble
-        latents = vae_encode(pixels, r_vae)               # (B, h, w, C)
+        latents = (batch["latents"] if vae_encode is None
+                   else vae_encode(pixels, r_vae))        # (B, h, w, C)
         latents = jnp.transpose(latents, (0, 3, 1, 2))    # NCHW for packing
         h, w = latents.shape[2], latents.shape[3]
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
@@ -105,7 +118,8 @@ def make_lightcontrol_step(
 
         def loss_fn(ctrl_params):
             controls = apply_control_bank(
-                control_cfg, ctrl_params, pixels, sigmas * 1000.0)
+                control_cfg, ctrl_params, pixels, sigmas * 1000.0,
+                impl=ccfg.control_bank_impl)
             pred = flux_apply(
                 flux_params, packed, prompt.astype(flux_cfg.dtype),
                 pooled.astype(flux_cfg.dtype), sigmas, img_ids, txt_ids,
