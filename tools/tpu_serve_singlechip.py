@@ -46,7 +46,7 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from x2i_tpu.core.config import (FluxConfig, ProjConfig, Qwen2Config,
+    from x2i_tpu.core.config import (FluxConfig, ProjConfig,
                                      SchedulerConfig, VAEConfig)
     from x2i_tpu.diffusion import (FlowMatchEulerScheduler, denoise,
                                    prepare_latent_image_ids, unpack_latents)
@@ -55,39 +55,7 @@ def main():
     from x2i_tpu.models.qwen2 import Qwen2LM
     from x2i_tpu.models.vae import AutoencoderKL
     from __graft_entry__ import _full_size_quantized_flux_params
-
-    def _pattern_params(model, example, *args):
-        """Full-size params without tracing init at scale: eval_shape then
-        pattern-fill (int8 iota pattern, norm scales one, tiny bf16 embed
-        values — same matmul cost as real weights)."""
-        import functools
-
-        shapes = jax.eval_shape(
-            lambda: model.init(jax.random.key(0), example, *args))
-
-        @functools.partial(jax.jit, static_argnums=0)
-        def _int8(shape):
-            flat = jax.lax.broadcasted_iota(jnp.int32, shape,
-                                            len(shape) - 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, shape,
-                                           max(len(shape) - 2, 0))
-            return ((flat * 31 + row * 7) % 251 - 125).astype(jnp.int8)
-
-        def make(path, leaf):
-            name = "/".join(str(getattr(p, "key", p)) for p in path)
-            if leaf.dtype == jnp.int8:
-                return _int8(leaf.shape)
-            if leaf.dtype == jnp.float32 and "scale" in name:
-                return jnp.full(leaf.shape, 2e-4, jnp.float32)
-            if "embed" in name:
-                flat = jax.lax.broadcasted_iota(jnp.int32, leaf.shape,
-                                                leaf.ndim - 1)
-                return (((flat * 13) % 61 - 30) / 600.0).astype(leaf.dtype)
-            if "norm" in name and leaf.ndim == 1:
-                return jnp.ones(leaf.shape, leaf.dtype)
-            return jnp.zeros(leaf.shape, leaf.dtype)
-
-        return jax.tree_util.tree_map_with_path(make, shapes)
+    from tools._bench_common import pattern_params, qwen_lm_config
 
     px = int(os.environ.get("X2I_SERVE_PX", "1024"))
     s_txt = int(os.environ.get("X2I_SERVE_PREFILL", "512"))
@@ -103,25 +71,14 @@ def main():
     # (nibble-packed int4 DiT, ~6 GiB, bf16 MXU compute). ---
     lm_kind = os.environ.get("X2I_SERVE_LM", "0_5b")
     lm_quant = os.environ.get("X2I_SERVE_LM_QUANT", "w8a8")
-    if lm_kind == "3b":
-        lm_cfg = Qwen2Config(
-            vocab_size=151936, hidden_size=2048, intermediate_size=11008,
-            num_hidden_layers=36, num_attention_heads=16,
-            num_key_value_heads=2, head_dim=128, quantized=lm_quant)
-    elif lm_kind == "7b":
-        # Qwen2.5-7B — the reference's flagship X2I encoder
-        # (/root/reference/infer/inference_qwenvl.py). Only fits next to
-        # the 12B DiT with X2I_SERVE_DIT_QUANT=w4 (and w4 or w8a8 LM).
-        lm_cfg = Qwen2Config(
-            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
-            num_hidden_layers=28, num_attention_heads=28,
-            num_key_value_heads=4, head_dim=128, quantized=lm_quant)
-    else:
-        lm_cfg = Qwen2Config(quantized=lm_quant)
+    # 7b = Qwen2.5-7B, the reference's flagship X2I encoder
+    # (/root/reference/infer/inference_qwenvl.py). Only fits next to
+    # the 12B DiT with X2I_SERVE_DIT_QUANT=w4 (and w4 or w8a8 LM).
+    lm_cfg = qwen_lm_config(lm_kind, lm_quant)
     lm = Qwen2LM(lm_cfg)
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, lm_cfg.vocab_size, (1, s_txt)), jnp.int32)
-    lm_params = _pattern_params(lm, ids)
+    lm_params = pattern_params(lm, ids)
     n_bytes = sum(x.size * x.dtype.itemsize
                   for x in jax.tree_util.tree_leaves(lm_params))
     print(f"encoder params: {n_bytes/2**30:.2f} GiB", flush=True)

@@ -109,30 +109,59 @@ class Qwen2Block(nn.Module):
 
 
 class ScannedQwen2Block(nn.Module):
-    """nn.scan wrapper emitting per-layer hidden states as ys."""
+    """nn.scan wrapper emitting per-layer hidden states as ys.
+
+    With (mix_w, mix_fn, mix_acc) the per-layer states are NOT emitted:
+    instead `mix_fn(state, mix_w[l])` is accumulated into a running
+    (B, S, H) f32 sum inside the scan carry — the proj channel mix
+    computed without ever materializing the (B, L, S, H) stack
+    (models/proj.py::streaming_mix_spec)."""
     cfg: Qwen2Config
 
     @nn.compact
     def __call__(self, hidden, cos, sin, kv_mask, cache, cache_index,
-                 causal=True, causal_offset=0):
-        def body(block, carry, layer_cache):
-            hidden = carry
+                 causal=True, causal_offset=0,
+                 mix_w=None, mix_fn=None, mix_acc=None):
+        if mix_w is None:
+            def body(block, carry, layer_cache):
+                hidden = carry
+                new_hidden, new_cache = block(hidden, cos, sin, kv_mask,
+                                              layer_cache, cache_index,
+                                              causal, causal_offset)
+                return new_hidden, (new_hidden, new_cache)
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0,),
+                out_axes=0,
+                length=self.cfg.num_hidden_layers,
+            )
+            hidden, (layer_states, new_cache) = scan(
+                Qwen2Block(self.cfg, name="block"), hidden, cache)
+            return hidden, layer_states, new_cache
+
+        def body(block, carry, layer_cache, w):
+            hidden, acc = carry
             new_hidden, new_cache = block(hidden, cos, sin, kv_mask,
-                                          layer_cache, cache_index, causal,
-                                          causal_offset)
-            return new_hidden, (new_hidden, new_cache)
+                                          layer_cache, cache_index,
+                                          causal, causal_offset)
+            acc = acc + mix_fn(new_hidden, w)
+            return (new_hidden, acc), new_cache
 
         scan = nn.scan(
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0,),
+            in_axes=(0, 0),
             out_axes=0,
             length=self.cfg.num_hidden_layers,
         )
-        hidden, (layer_states, new_cache) = scan(
-            Qwen2Block(self.cfg, name="block"), hidden, cache)
-        return hidden, layer_states, new_cache
+        (hidden, acc), new_cache = scan(
+            Qwen2Block(self.cfg, name="block"), (hidden, mix_acc),
+            cache, mix_w)
+        return hidden, acc, new_cache
 
 
 class Qwen2LM(nn.Module):
@@ -208,6 +237,49 @@ class Qwen2LM(nn.Module):
             [inputs_embeds[:, None], layer_states[:, :-1], normed[:, None]],
             axis=1)
         return all_hidden, normed
+
+    def encode_premixed(self, input_ids, mix_weights, mix_fn,
+                        attention_mask: Optional[jnp.ndarray] = None,
+                        inputs_embeds: Optional[jnp.ndarray] = None,
+                        position_ids: Optional[jnp.ndarray] = None,
+                        rope: Optional[Tuple[jnp.ndarray,
+                                             jnp.ndarray]] = None):
+        """Prefill with the proj channel mix fused into the layer scan.
+
+        Computes exactly Proj.mix(all_hidden) (+ conv bias) without ever
+        materializing the (B, L+1, S, H) stack — at a 32k-token prompt on
+        the 7B shape that stack is 6.8 GiB bf16; here peak extra memory is
+        one (B, S, H) f32 accumulator. mix_weights/mix_fn come from
+        models/proj.py::streaming_mix_spec; feed the result to Proj.mlp.
+
+        Returns (mixed (B, S, H) f32, last_hidden (B, S, H) final-norm'd).
+        """
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        b, s, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.bool_)
+        attention_mask = attention_mask.astype(jnp.bool_)
+        if rope is not None:
+            cos, sin = rope
+        else:
+            if position_ids is None:
+                position_ids = jnp.clip(
+                    jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1,
+                    0, None)
+            cos, sin = rope_freqs_half(position_ids, cfg.head_dim,
+                                       cfg.rope_theta)
+
+        acc0 = mix_fn(inputs_embeds, mix_weights["embed"])
+        final, acc, _ = self.blocks(inputs_embeds, cos, sin, attention_mask,
+                                    None, None, mix_w=mix_weights["layers"],
+                                    mix_fn=mix_fn, mix_acc=acc0)
+        normed = self.final_norm(final)
+        acc = acc + mix_fn(normed, mix_weights["final"])
+        if mix_weights.get("bias") is not None:
+            acc = acc + mix_weights["bias"]
+        return acc, normed
 
     def decode_step(self, token_embeds, cache, cache_index, kv_mask,
                     position_ids):

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -336,12 +337,14 @@ def _flash_chunked_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
-    if causal:
+    if causal and os.environ.get("X2I_FA_NO_CAUSAL_SKIP",
+                                 "").lower() in ("", "0", "false"):
         # skip kv blocks entirely above the causal diagonal: block j
         # touches cols [j*BK, (j+1)*BK); the q block's last row is
         # (i+1)*BQ - 1 — for 32k-token MLLM prefill this halves the MXU
         # work (the skipped contribution is exactly zero, so the online
-        # stats are unchanged)
+        # stats are unchanged). X2I_FA_NO_CAUSAL_SKIP=1 disables the
+        # skip (A/B knob for tools/tpu_prefill_bench.py).
         pl.when(j * block_k < (i + 1) * block_q)(compute)
     else:
         compute()

@@ -48,7 +48,15 @@ class X2IPipeline:
 
     def encode(self, encoder_inputs: Dict[str, Any]
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """-> (pooled (B, 768), prompt_embeds (B, S, 4096))."""
+        """-> (pooled (B, 768), prompt_embeds (B, S, 4096)).
+
+        For very long prompts (the reference accepts up to 32k tokens,
+        inference_minicpm.py:169) the (B, C, S, H) stack this path
+        materializes grows to GiBs; the streamed alternative —
+        models/proj.py::streaming_mix_spec +
+        models/qwen2.py::Qwen2LM.encode_premixed + Proj.mlp — computes
+        the same conditioning with one (B, S, H) buffer
+        (tools/tpu_prefill_bench.py X2I_PREFILL_PROJ=1)."""
         states = self.encoder_fn(encoder_inputs)
         return self.proj.apply(self.proj_params, states)
 
