@@ -115,3 +115,69 @@ def build_tiny_distill(batch_size: int = 8, remat: bool = False,
     step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
                                 student_states_fn, optimizer, flux_cfg, dcfg)
     return step_fn, state, flux_params, batch
+
+
+def build_tiny_lightcontrol(batch_size: int = 8):
+    """Phase-2 analogue of build_tiny_distill: tiny VAE (/8 like the real
+    one so control tokens == packed latent tokens) + tiny control bank +
+    tiny FLUX with control injection. Returns (step_fn, state,
+    flux_params, batch); batch is DP-shardable on its leading axis."""
+    from x2i_tpu.core.config import (ControlNeXtConfig, LightControlConfig,
+                                     SchedulerConfig, VAEConfig)
+    from x2i_tpu.models.controlnext import init_control_bank
+    from x2i_tpu.models.vae import AutoencoderKL
+    from x2i_tpu.train.lightcontrol import (ControlTrainState,
+                                            make_lightcontrol_optimizer,
+                                            make_lightcontrol_step)
+
+    flux_cfg = tiny_flux_config(guidance_embeds=True, in_channels=16)
+    vae_cfg = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                        latent_channels=4, norm_num_groups=4,
+                        dtype=jnp.float32, param_dtype=jnp.float32)
+    ctrl_cfg = ControlNeXtConfig(in_channels=(8, 8), out_channels=(8, 16),
+                                 groups=(2, 2), time_embed_dim=16,
+                                 final_out_channels=flux_cfg.inner_dim,
+                                 dtype=jnp.float32, param_dtype=jnp.float32)
+    ccfg = LightControlConfig(gradient_accumulation_steps=1,
+                              learning_rate=1e-3)
+
+    PX, B, S = 32, batch_size, 8    # 32px -> 4 latent-packed tokens
+    flux = FluxTransformer2D(flux_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    pixels = jnp.asarray(rng.standard_normal((B, PX, PX, 3)), jnp.float32)
+    vae_params = vae.init(key, pixels[:1])
+
+    s_img = (PX // 16) ** 2
+    flux_params = flux.init(
+        key, jnp.zeros((1, s_img, flux_cfg.in_channels)),
+        jnp.zeros((1, S, flux_cfg.joint_attention_dim)),
+        jnp.zeros((1, flux_cfg.pooled_projection_dim)), jnp.zeros((1,)),
+        jnp.zeros((s_img, 3)), jnp.zeros((S, 3)), guidance=jnp.ones((1,)),
+        controls=jnp.zeros((flux_cfg.num_layers, 1, s_img,
+                            flux_cfg.inner_dim)))
+    bank = init_control_bank(ctrl_cfg, flux_cfg.num_layers, key,
+                             image_size=PX)
+
+    prompt = jnp.asarray(
+        rng.standard_normal((B, S, flux_cfg.joint_attention_dim)),
+        jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, flux_cfg.pooled_projection_dim)),
+        jnp.float32)
+    batch = {"style_pixels": pixels, "prompt": prompt, "pooled": pooled}
+
+    def conditioning_fn(b):
+        return b["pooled"], b["prompt"]
+
+    def vae_encode(pix, r):
+        return vae.apply(vae_params, pix, r, method=vae.encode)
+
+    optimizer = make_lightcontrol_optimizer(ccfg)
+    step_fn = make_lightcontrol_step(
+        flux.apply, vae_encode, conditioning_fn, ctrl_cfg, flux_cfg, ccfg,
+        SchedulerConfig(shift=3.0), optimizer)
+    state = ControlTrainState(bank, optimizer.init(bank),
+                              jnp.zeros((), jnp.int32))
+    return step_fn, state, flux_params, batch
