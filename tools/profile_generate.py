@@ -99,7 +99,48 @@ def classify(name: str) -> str:
     return "other"
 
 
-def parse_trace(trace_dir: str):
+def hlo_fusion_families(hlo_text: str):
+    """Map trace fusion names (fusion.NNNN) to content-derived families by
+    reading the compiled HLO: generic XLA fusion names hide whether a
+    fusion is an int8 MXU matmul, a conv, or elementwise glue."""
+    comp_text = {}                               # computation -> full text
+    current = None
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        if current is None:
+            if "fused_computation" in ls and ls.endswith("{"):
+                mm = re.search(r"%?([\w.\-]*fused_computation[\w.\-]*)", ls)
+                if mm:
+                    current = mm.group(1)
+                    comp_text[current] = [ls]
+            continue
+        comp_text[current].append(ls)
+        if ls.startswith("}"):
+            current = None
+
+    def fam_of(comp):
+        text = "\n".join(comp_text.get(comp, ()))
+        # the TPU backend canonicalizes dots to convolution ops, so a
+        # "convolution" inside a denoise-loop fusion IS a matmul
+        has_mxu = " dot(" in text or "convolution" in text
+        if has_mxu and "s8[" in text:
+            return "int8 matmul fusions (MXU)"
+        if has_mxu:
+            return "bf16 matmul/conv fusions (MXU)"
+        return None
+
+    fusion_fam = {}
+    for m in re.finditer(
+            r"%?([\w.\-]*fusion[\w.\-]*)\s*=[^\n]*?calls=%?([\w.\-]+)",
+            hlo_text):
+        fam = fam_of(m.group(2))
+        if fam:
+            fusion_fam[m.group(1)] = fam
+    return fusion_fam
+
+
+def parse_trace(trace_dir: str, fusion_fam=None):
+    fusion_fam = fusion_fam or {}
     paths = glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True)
     if not paths:
@@ -142,7 +183,7 @@ def parse_trace(trace_dir: str):
                     stack[-1][3] += own
                 self_us = max(own - child, 0.0)
                 per_op[nm] += self_us
-                per_family[classify(nm)] += self_us
+                per_family[fusion_fam.get(nm, classify(nm))] += self_us
                 total += self_us
 
         for ts, dur, name in lane:
@@ -174,14 +215,21 @@ def main():
         wall = time.perf_counter() - t0
     print(f"wall: {wall*1e3:.1f} ms   ({args.px}^2, {args.quant})")
 
-    per_op, per_family, total = parse_trace(trace_dir)
+    try:
+        fusion_fam = hlo_fusion_families(compiled.as_text())
+    except Exception as e:                       # HLO text optional
+        print(f"(no HLO fusion map: {e})")
+        fusion_fam = {}
+    per_op, per_family, total = parse_trace(trace_dir, fusion_fam)
     print(f"device op time: {total/1e3:.1f} ms")
     print("\n-- by family " + "-" * 40)
     for fam, dur in per_family.most_common():
         print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {fam}")
     print(f"\n-- top {args.top} ops " + "-" * 36)
     for name, dur in per_op.most_common(args.top):
-        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name[:100]}")
+        fam = fusion_fam.get(name)
+        note = f"  [{fam}]" if fam else ""
+        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name[:80]}{note}")
 
 
 if __name__ == "__main__":
