@@ -251,6 +251,7 @@ def test_w4_dense_gradient(rng):
     x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
     p, s = quantize_kernel_w4(w, group=128)
     params = {"params": {"pkernel": p, "scale": s,
+                         "pre_scale": np.ones(128, np.float32),
                          "bias": np.zeros(16, np.float32)}}
     layer = QuantDense(16, dtype=jnp.float32, param_dtype=jnp.float32,
                        mode="w4")
@@ -304,3 +305,59 @@ def test_w4_flux_matches_dequantized_fp(rng):
     # iid-normal tiny weights + sub-128 dims (per-channel scales) are the
     # int4 worst case; 0.95 just guards against sign/packing bugs.
     assert np.corrcoef(a, b)[0, 1] > 0.95
+
+
+# --- w4 AWQ (activation-aware equalization) --------------------------------
+
+
+def _outlier_act_amax(rng, inn, n_hot=8, hot=16.0):
+    amax = np.abs(rng.standard_normal(inn)).astype(np.float64) + 1.0
+    amax[rng.choice(inn, n_hot, replace=False)] *= hot
+    return amax
+
+
+def test_w4_awq_reduces_output_error(rng):
+    """At LLM.int8()-style outlier-channel activation statistics the
+    AWQ-equalized int4 kernel must beat plain round-to-nearest w4 on true
+    output error (the whole point of the method)."""
+    from x2i_tpu.ops.quant import (_dequant_w4, quantize_kernel_w4,
+                                   quantize_kernel_w4_awq)
+
+    inn, out = 256, 64
+    w = rng.standard_normal((inn, out)).astype(np.float32) * 0.05
+    amax = _outlier_act_amax(rng, inn)
+    x = (rng.laplace(size=(512, inn)) * (amax / 4.0)).astype(np.float32)
+    ref = x @ w
+
+    p0, s0 = quantize_kernel_w4(w, group=128)
+    plain = x @ np.asarray(_dequant_w4(jnp.asarray(p0), jnp.asarray(s0),
+                                       jnp.float32))
+    pk, sc, inv_s = quantize_kernel_w4_awq(w, amax, group=128)
+    awq = (x * inv_s) @ np.asarray(_dequant_w4(jnp.asarray(pk),
+                                               jnp.asarray(sc), jnp.float32))
+
+    err_plain = float(np.mean((plain - ref) ** 2))
+    err_awq = float(np.mean((awq - ref) ** 2))
+    assert err_awq < 0.7 * err_plain, (err_awq, err_plain)
+
+
+def test_w4_awq_dense_and_dequantize_tree_agree(rng):
+    """QuantDense(mode=w4) with AWQ params == x @ (pre_scale * deq kernel);
+    dequantize_tree reconstructs that same effective kernel."""
+    from x2i_tpu.ops.quant import (QuantDense, dequantize_tree,
+                                   quantize_kernel_w4_awq)
+
+    inn, out = 128, 16
+    w = rng.standard_normal((inn, out)).astype(np.float32) * 0.1
+    amax = _outlier_act_amax(rng, inn, n_hot=4)
+    pk, sc, inv_s = quantize_kernel_w4_awq(w, amax, group=64)
+    tree = {"pkernel": pk, "scale": sc, "pre_scale": inv_s,
+            "bias": np.zeros(out, np.float32)}
+    layer = QuantDense(out, dtype=jnp.float32, param_dtype=jnp.float32,
+                       mode="w4", group=64)
+    x = jnp.asarray(rng.standard_normal((4, inn)), jnp.float32)
+    y = layer.apply({"params": tree}, x)
+
+    eff = dequantize_tree({"q": tree})["q"]["kernel"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ eff,
+                               rtol=3e-5, atol=3e-5)

@@ -25,6 +25,8 @@ def pattern_params(model, *example, method=None):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         if leaf.dtype == jnp.int8:
             return _int8(leaf.shape)
+        if "pre_scale" in name:           # w4 AWQ equalization: identity
+            return jnp.ones(leaf.shape, jnp.float32)
         if leaf.dtype == jnp.float32 and "scale" in name:
             return jnp.full(leaf.shape, 2e-4, jnp.float32)
         if "embed" in name:

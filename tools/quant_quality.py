@@ -60,12 +60,14 @@ def realistic_kernel(rng, d_in, d_out, outlier_factor=1.0,
 
 
 def realistic_acts(rng, batch, seq, d, outlier_factor=1.0,
-                   outlier_frac=0.005):
+                   outlier_frac=0.005, hot_idx=None):
     """Activations: ~laplace body + a few hot channels (post-LN residual
-    stream statistics)."""
+    stream statistics). hot_idx pins WHICH channels are hot — in a real
+    model that is a property of the weights, stable across inputs, so
+    calibration and evaluation draws must share it."""
     x = rng.laplace(size=(batch, seq, d)).astype(np.float32)
     n_out = max(1, int(outlier_frac * d))
-    idx = rng.choice(d, n_out, replace=False)
+    idx = rng.choice(d, n_out, replace=False) if hot_idx is None else hot_idx
     x[..., idx] *= outlier_factor
     return x
 
@@ -74,16 +76,23 @@ def per_op_study(rng):
     import jax.numpy as jnp
 
     from x2i_tpu.ops.quant import (quantize_kernel, quantize_kernel_w4,
-                                   w4_matmul, w8_matmul, w8a8_matmul)
+                                   quantize_kernel_w4_awq, w4_matmul,
+                                   w8_matmul, w8a8_matmul)
 
     out = {}
     d_in, d_out, seq = 3072, 3072, 512
     for w_out in (1.0, 4.0, 16.0):
         for a_out in (1.0, 4.0, 16.0):
             k = realistic_kernel(rng, d_in, d_out, w_out)
-            x = realistic_acts(rng, 1, seq, d_in, a_out)
+            hot = rng.choice(d_in, max(1, int(0.005 * d_in)), replace=False)
+            x = realistic_acts(rng, 1, seq, d_in, a_out, hot_idx=hot)
             qk, scale = quantize_kernel(k)
             pk, gscale = quantize_kernel_w4(k)
+            # awq calibrates on a held-out activation draw with the same
+            # hot channels (channel identity is a model property)
+            amax = np.abs(realistic_acts(rng, 1, 256, d_in, a_out,
+                                         hot_idx=hot)).max(axis=(0, 1))
+            apk, agscale, inv_s = quantize_kernel_w4_awq(k, amax)
             ref = x.astype(np.float32) @ k
             w8 = w8_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qk),
                            jnp.asarray(scale))
@@ -91,10 +100,13 @@ def per_op_study(rng):
                                jnp.asarray(qk), jnp.asarray(scale))
             w4 = w4_matmul(jnp.asarray(x, jnp.bfloat16), jnp.asarray(pk),
                            jnp.asarray(gscale))
+            w4awq = w4_matmul(jnp.asarray(x * inv_s, jnp.bfloat16),
+                              jnp.asarray(apk), jnp.asarray(agscale))
             key = f"w_outlier={w_out}_a_outlier={a_out}"
             out[key] = {"w8_rel_err": rel_err(w8, ref),
                         "w8a8_rel_err": rel_err(w8a8, ref),
-                        "w4_rel_err": rel_err(w4, ref)}
+                        "w4_rel_err": rel_err(w4, ref),
+                        "w4awq_rel_err": rel_err(w4awq, ref)}
     return out
 
 

@@ -239,7 +239,13 @@ class QuantDense(nn.Module):
             gscale = self.param(
                 "scale", nn.initializers.ones,
                 (in_features // g, self.features), jnp.float32)
-            y = w4_matmul(x.astype(self.dtype), pkernel, gscale)
+            # AWQ-style per-input-channel equalization (ones = identity):
+            # quantize_kernel_w4_awq folds s into the kernel and stores
+            # 1/s here, so salient channels keep 4-bit precision
+            pre_scale = self.param("pre_scale", nn.initializers.ones,
+                                   (in_features,), jnp.float32)
+            y = w4_matmul((x * pre_scale.astype(x.dtype))
+                          .astype(self.dtype), pkernel, gscale)
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), self.param_dtype)
@@ -311,6 +317,51 @@ def quantize_kernel_w4(kernel: np.ndarray, group: int = 128):
     return pack_int4(q), np.squeeze(scale, axis=-2).astype(np.float32)
 
 
+def quantize_kernel_w4_awq(kernel: np.ndarray, act_amax: np.ndarray,
+                           group: int = 128, n_grid: int = 20,
+                           cal_x: "np.ndarray | None" = None,
+                           rng: "np.random.Generator | None" = None):
+    """Activation-aware int4 quantization (AWQ, arXiv:2306.00978 §3).
+
+    4-bit round-to-nearest hurts most on the weight rows multiplied by
+    LARGE activations (the error there dominates the output error). AWQ
+    scales input channel i by s_i = (act_amax_i / mean)^alpha before
+    quantizing — salient rows get finer codes — and the inverse scale is
+    applied to the activations at run time (QuantDense's w4 `pre_scale`).
+    alpha is grid-searched against the true output error on calibration
+    activations.
+
+    kernel (in, out) [2D only — search per layer for stacked params];
+    act_amax (in,) per-input-channel abs-max from calibration.
+    Returns (pkernel, scale, pre_scale) where pre_scale = 1/s (f32 (in,)).
+    """
+    k = np.asarray(kernel, np.float32)
+    if k.ndim != 2:
+        raise ValueError("awq search is per-kernel; loop stacked layers")
+    inn = k.shape[0]
+    amax = np.maximum(np.asarray(act_amax, np.float64).reshape(inn), 1e-8)
+    if cal_x is None:
+        # laplace calibration activations with the observed per-channel
+        # spread (matches tools/quant_quality.py's realistic-stats model)
+        rng = rng or np.random.default_rng(0)
+        cal_x = (rng.laplace(size=(256, inn)) * (amax / 4.0)).astype(
+            np.float32)
+    ref = cal_x.astype(np.float32) @ k
+
+    best = (np.inf, None)
+    ratio = amax / amax.mean()
+    for alpha in np.linspace(0.0, 1.0, n_grid):
+        s = np.clip(ratio ** alpha, 1e-4, 1e4).astype(np.float32)
+        pk, sc = quantize_kernel_w4(k * s[:, None], group)
+        deq = np.asarray(_dequant_w4(jnp.asarray(pk), jnp.asarray(sc),
+                                     jnp.float32))
+        out = (cal_x / s) @ deq
+        err = float(np.mean((out - ref) ** 2))
+        if err < best[0]:
+            best = (err, (pk, sc, (1.0 / s).astype(np.float32)))
+    return best[1]
+
+
 def dequantize_tree(params) -> Dict:
     """Inverse plumbing of quantize_tree: rewrite qkernel/pkernel+scale
     leaves back to f32 'kernel' leaves (exact — the rounding loss happened
@@ -325,11 +376,15 @@ def dequantize_tree(params) -> Dict:
             kernel = np.asarray(_dequant_w4(
                 jnp.asarray(params["pkernel"]),
                 jnp.asarray(params["scale"]), jnp.float32))
+            if "pre_scale" in params:
+                # effective weight = diag(pre_scale) @ dequant(W*s)
+                kernel = kernel * np.asarray(
+                    params["pre_scale"], np.float32)[..., :, None]
             new = {"kernel": kernel}
         else:
             return {k: dequantize_tree(v) for k, v in params.items()}
         for extra, ev in params.items():
-            if extra not in ("qkernel", "pkernel", "scale"):
+            if extra not in ("qkernel", "pkernel", "scale", "pre_scale"):
                 new[extra] = ev
         return new
     return params
@@ -359,7 +414,9 @@ def quantize_tree(params, mode: str = "w8", group: int = 128) -> Dict:
                 k = np.asarray(val["kernel"])
                 if mode == "w4":
                     q, s = quantize_kernel_w4(k, group)
-                    new = {"pkernel": q, "scale": s}
+                    # (in,) for 2D kernels, (L, in) for scan-stacked
+                    new = {"pkernel": q, "scale": s,
+                           "pre_scale": np.ones(k.shape[:-1], np.float32)}
                 else:
                     q, s = quantize_kernel(k)
                     new = {"qkernel": q, "scale": s.astype(np.float32)}
