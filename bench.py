@@ -72,10 +72,11 @@ def main():
     use_pallas = os.environ.get("X2I_BENCH_ATTN", "pallas") != "xla"
 
     rope_layout = os.environ.get("X2I_BENCH_ROPE", "half")
-    # Pallas fused LN+modulate+quantize / gelu+quantize glue kernels
-    # (ops/fused_glue.py) — w8a8 only; X2I_BENCH_FUSED_GLUE=0 to disable.
-    fused_glue = (quant == "w8a8" and
-                  os.environ.get("X2I_BENCH_FUSED_GLUE", "1") == "1")
+    # Pallas fused glue kernels (ops/fused_glue.py): on w8a8 they fuse
+    # LN/modulate/gelu + the dynamic activation quantization; on other
+    # modes LN+modulate in one pass (bf16 out). The model picks the mode
+    # (flux._use_fused_glue); X2I_BENCH_FUSED_GLUE=0 to disable.
+    fused_glue = os.environ.get("X2I_BENCH_FUSED_GLUE", "1") == "1"
     cfg = FluxConfig(quantized=quant, guidance_embeds=False,
                      use_pallas_attention=use_pallas,
                      rope_layout=rope_layout, fused_glue=fused_glue)

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from x2i_tpu.ops.fused_glue import gelu_quant, ln_mod_quant, quant_rows
+from x2i_tpu.ops.fused_glue import (gelu_quant, ln_mod, ln_mod_quant,
+                                    quant_rows)
 from x2i_tpu.ops.norms import layer_norm
 from x2i_tpu.ops.quant import (QuantDense, quantize_kernel, w8a8_matmul,
                                w8a8_matmul_prequant)
@@ -65,6 +66,24 @@ def test_ln_mod_quant_matches_unfused(rng, seq):
     _assert_quant_close(q, q_ref)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=0.02)
     _assert_dequant_close(q, s, m)
+
+
+@pytest.mark.parametrize("seq", [256, 200])   # 200: ragged final block
+def test_ln_mod_matches_unfused(rng, seq):
+    """The no-quantize ln_mod (w8/w4/bf16 glue) matches the XLA
+    layer_norm + _modulate chain within bf16 ulp noise."""
+    x = jnp.asarray(rng.standard_normal((2, seq, 128)), jnp.bfloat16)
+    shift = jnp.asarray(rng.standard_normal((2, 128)) * 0.1, jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal((2, 128)) * 0.1, jnp.bfloat16)
+
+    y = layer_norm(x)
+    ref = y * (1.0 + scale[:, None, :]) + shift[:, None, :]   # _modulate
+
+    out = ln_mod(x, shift, scale, block_rows=64, interpret=True)
+    assert out.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_gelu_quant_matches_unfused(rng):
@@ -121,9 +140,11 @@ def test_quantdense_tuple_rejects_w8(rng):
         layer.apply(params, (q, a))
 
 
-def test_flux_fused_glue_end_to_end(rng):
-    """Tiny w8a8 FLUX forward with fused_glue on vs off: same params, same
-    inputs, outputs within quantization noise of each other."""
+@pytest.mark.parametrize("quant", ["w8a8", "w8"])
+def test_flux_fused_glue_end_to_end(rng, quant):
+    """Tiny FLUX forward with fused_glue on vs off: same params, same
+    inputs, outputs within quantization noise of each other. w8a8
+    exercises the "quant" glue mode, w8 the "ln" (bf16-out) mode."""
     from jax.experimental import pallas as _  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu
 
@@ -133,7 +154,7 @@ def test_flux_fused_glue_end_to_end(rng):
     from x2i_tpu.ops.quant import quantize_tree
 
     def build(fused):
-        cfg = tiny_flux_config(quantized="w8a8", fused_glue=fused,
+        cfg = tiny_flux_config(quantized=quant, fused_glue=fused,
                                dtype=jnp.bfloat16,
                                param_dtype=jnp.bfloat16)
         return cfg, FluxTransformer2D(cfg)

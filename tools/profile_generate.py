@@ -38,7 +38,7 @@ def build_generate(px: int, quant: str = "w8a8",
 
     cfg = FluxConfig(quantized=quant, guidance_embeds=False,
                      rope_layout=rope_layout,
-                     fused_glue=fused_glue and quant == "w8a8")
+                     fused_glue=fused_glue)
     model = FluxTransformer2D(cfg)
     grid, s_txt = px // 8, 512
     s_img = (grid // 2) ** 2

@@ -73,7 +73,7 @@ class FluxConfig:
     quantized: Any = False           # False | True/"w8" (int8 weights) |
                                      # "w8a8" (int8 weights + dynamic
                                      # per-token activations on the MXU)
-    fused_glue: bool = False         # w8a8 inference only: Pallas kernels
+    fused_glue: bool = False         # inference-only Pallas glue kernels
                                      # fusing LN+modulate+quantize, gelu+
                                      # quantize and plain row-quantize into
                                      # one HBM pass each (ops/fused_glue).

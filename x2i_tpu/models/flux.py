@@ -92,14 +92,20 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray,
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _use_fused_glue(cfg, kd_target) -> bool:
-    """Fused Pallas glue (ops/fused_glue) applies on the plain w8a8
-    inference path only: it is not differentiable (KD/student paths keep
-    the XLA glue) and skips the TP/SP sharding constraints."""
-    return (cfg.fused_glue and cfg.quantized == "w8a8"
-            and kd_target is None
-            and not (cfg.shard_activations or cfg.shard_sequence
-                     or cfg.ring_sequence))
+def _use_fused_glue(cfg, kd_target):
+    """Fused Pallas glue (ops/fused_glue) mode for the plain inference
+    path: "quant" on w8a8 (LN/modulate/gelu + the dynamic activation
+    quantization in one HBM pass each), "ln" on weight-only / bf16 modes
+    (LN+modulate in one pass, bf16 out; the matmuls take bf16 directly),
+    None when unavailable — the kernels are not differentiable (KD and
+    student paths keep the XLA glue) and skip the TP/SP sharding
+    constraints. Both modes also fold the qk RMSNorm into the flash
+    attention kernel."""
+    if not cfg.fused_glue or kd_target is not None:
+        return None
+    if cfg.shard_activations or cfg.shard_sequence or cfg.ring_sequence:
+        return None
+    return "quant" if cfg.quantized == "w8a8" else "ln"
 
 
 def _roped_attention(cfg, q, k, v, rope, impl: str,
@@ -216,11 +222,15 @@ class FluxDoubleBlock(nn.Module):
          c_shift_mlp, c_scale_mlp, c_gate_mlp) = jnp.split(cmod, 6, axis=-1)
 
         fused = _use_fused_glue(cfg, kd_target)
-        if fused:
+        if fused == "quant":
             from x2i_tpu.ops.fused_glue import (gelu_quant, ln_mod_quant,
                                                 quant_rows)
             img_in = ln_mod_quant(hidden, shift_msa, scale_msa)
             txt_in = ln_mod_quant(encoder, c_shift_msa, c_scale_msa)
+        elif fused == "ln":
+            from x2i_tpu.ops.fused_glue import ln_mod
+            img_in = ln_mod(hidden, shift_msa, scale_msa)
+            txt_in = ln_mod(encoder, c_shift_msa, c_scale_msa)
         else:
             img_in = _modulate(layer_norm(hidden), shift_msa, scale_msa)
             txt_in = _modulate(layer_norm(encoder), c_shift_msa,
@@ -281,7 +291,7 @@ class FluxDoubleBlock(nn.Module):
         attn = attn.reshape(batch, s_txt + s_img, dim)
         txt_attn, img_attn = attn[:, :s_txt], attn[:, s_txt:]
 
-        if fused:
+        if fused == "quant":
             img_attn = dense(dim, "img_attn_out")(quant_rows(img_attn))
             txt_attn = dense(dim, "txt_attn_out")(quant_rows(txt_attn))
         else:
@@ -289,12 +299,14 @@ class FluxDoubleBlock(nn.Module):
             txt_attn = dense(dim, "txt_attn_out")(txt_attn)
 
         hidden = hidden + gate_msa[:, None, :] * img_attn
-        if fused:
+        if fused == "quant":
             ff_in = ln_mod_quant(hidden, shift_mlp, scale_mlp)
+        elif fused == "ln":
+            ff_in = ln_mod(hidden, shift_mlp, scale_mlp)
         else:
             ff_in = _modulate(layer_norm(hidden), shift_mlp, scale_mlp)
         mid = dense(int(dim * cfg.mlp_ratio), "img_mlp_in")(ff_in)
-        if fused:
+        if fused == "quant":
             ff = dense(dim, "img_mlp_out")(gelu_quant(mid))
         else:
             ff_mid = _shard(nn.gelu(mid), cfg, ("data", "fsdp"), None,
@@ -303,13 +315,15 @@ class FluxDoubleBlock(nn.Module):
         hidden = hidden + gate_mlp[:, None, :] * ff
 
         encoder = encoder + c_gate_msa[:, None, :] * txt_attn
-        if fused:
+        if fused == "quant":
             cff_in = ln_mod_quant(encoder, c_shift_mlp, c_scale_mlp)
+        elif fused == "ln":
+            cff_in = ln_mod(encoder, c_shift_mlp, c_scale_mlp)
         else:
             cff_in = _modulate(layer_norm(encoder), c_shift_mlp,
                                c_scale_mlp)
         cmid = dense(int(dim * cfg.mlp_ratio), "txt_mlp_in")(cff_in)
-        if fused:
+        if fused == "quant":
             cff = dense(dim, "txt_mlp_out")(gelu_quant(cmid))
         else:
             cff_mid = _shard(nn.gelu(cmid), cfg, ("data", "fsdp"), None,
@@ -357,10 +371,13 @@ class FluxSingleBlock(nn.Module):
         # (int8, row-scale) inputs for the w8a8 matmuls (ops/fused_glue);
         # inference-only (not differentiable), so KD paths keep XLA glue.
         fused = _use_fused_glue(cfg, kd_target)
-        if fused:
+        if fused == "quant":
             from x2i_tpu.ops.fused_glue import (gelu_quant, ln_mod_quant,
                                                 quant_rows)
             x = ln_mod_quant(hidden, shift, scale)
+        elif fused == "ln":
+            from x2i_tpu.ops.fused_glue import ln_mod
+            x = ln_mod(hidden, shift, scale)
         else:
             x = _modulate(layer_norm(hidden), shift, scale)
 
@@ -389,7 +406,7 @@ class FluxSingleBlock(nn.Module):
         attn = _roped_attention(cfg, q, k, v, rope, impl, qk_norm)
         attn = attn.reshape(batch, seq, dim)
 
-        if fused:
+        if fused == "quant":
             # chunked pre-quantized input: the [attn | mlp] concat never
             # materializes (QuantDense sums per-chunk int8 matmuls)
             mlp_t = gelu_quant(dense(mlp_dim, "mlp_in")(x))
@@ -572,9 +589,15 @@ class FluxTransformer2D(nn.Module):
         # AdaLayerNormContinuous: note scale-first chunk order in diffusers.
         norm_mod = dense(2 * dim, "norm_out")(nn.silu(temb))
         scale, shift = jnp.split(norm_mod, 2, axis=-1)
-        if _use_fused_glue(cfg, None if kd_targets is None else kd_targets):
+        head_fused = _use_fused_glue(cfg,
+                                     None if kd_targets is None else
+                                     kd_targets)
+        if head_fused == "quant":
             from x2i_tpu.ops.fused_glue import ln_mod_quant
             head_in = ln_mod_quant(hidden, shift, scale)
+        elif head_fused == "ln":
+            from x2i_tpu.ops.fused_glue import ln_mod
+            head_in = ln_mod(hidden, shift, scale)
         else:
             head_in = _modulate(layer_norm(hidden), shift, scale)
         output = dense(cfg.patch_size ** 2 * cfg.in_channels,

@@ -75,11 +75,25 @@ def _quant_kernel(x_ref, q_ref, s_ref):
     s_ref[0] = a
 
 
+def _ln_mod_kernel(x_ref, shift_ref, scale_ref, o_ref, *, eps: float):
+    """LayerNorm + modulate in one pass, same-dtype output (no quantize):
+    the glue fusion for weight-only (w8/w4) and bf16 inference, where the
+    matmuls take bf16 activations directly."""
+    x = x_ref[0].astype(jnp.float32)                      # (R, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps)).astype(x_ref.dtype)
+    o_ref[0] = y * (1.0 + scale_ref[0, 0][None, :]) + shift_ref[0, 0][None, :]
+
+
 def _rows_call(kernel, x, extra=(), block_rows: int = 256,
-               interpret: bool = False):
+               interpret: bool = False, out: str = "quant"):
     """Launch a row-local kernel over (B, S, D) with optional per-batch
     (B, D) extras. Rows are independent, so a ragged final block is safe:
-    out-of-range rows compute garbage that is dropped on store."""
+    out-of-range rows compute garbage that is dropped on store.
+    out="quant" -> (int8 codes, f32 row scales); out="same" -> one array
+    in x.dtype."""
     batch, seq, dim = x.shape
     br = min(block_rows, seq)
     grid = (batch, pl.cdiv(seq, br))
@@ -91,14 +105,20 @@ def _rows_call(kernel, x, extra=(), block_rows: int = 256,
     extra = tuple(e[:, None, :] for e in extra)
     for _ in extra:
         in_specs.append(pl.BlockSpec((1, 1, dim), lambda b, r: (b, 0, 0)))
+    if out == "same":
+        out_specs = pl.BlockSpec((1, br, dim), lambda b, r: (b, r, 0))
+        out_shape = jax.ShapeDtypeStruct((batch, seq, dim), x.dtype)
+    else:
+        out_specs = (pl.BlockSpec((1, br, dim), lambda b, r: (b, r, 0)),
+                     pl.BlockSpec((1, br, 1), lambda b, r: (b, r, 0)))
+        out_shape = (jax.ShapeDtypeStruct((batch, seq, dim), jnp.int8),
+                     jax.ShapeDtypeStruct((batch, seq, 1), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((1, br, dim), lambda b, r: (b, r, 0)),
-                   pl.BlockSpec((1, br, 1), lambda b, r: (b, r, 0))),
-        out_shape=(jax.ShapeDtypeStruct((batch, seq, dim), jnp.int8),
-                   jax.ShapeDtypeStruct((batch, seq, 1), jnp.float32)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, *extra)
 
@@ -114,6 +134,19 @@ def ln_mod_quant(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
     w8a8_matmul's activation quantization (ops/quant.py) numerics."""
     return _rows_call(functools.partial(_ln_mod_quant_kernel, eps=eps),
                       x, (shift, scale), block_rows, interpret)
+
+
+def ln_mod(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
+           eps: float = 1e-6, block_rows: int = 256,
+           interpret: bool = False) -> jnp.ndarray:
+    """modulate(layer_norm(x), shift, scale) in one HBM pass, x.dtype out.
+
+    The no-quantize sibling of ln_mod_quant for the weight-only (w8/w4)
+    and bf16 inference paths: XLA compiles the unfused chain as a reduce
+    fusion (mean/var) plus a normalize+modulate fusion — two full reads of
+    the (B, S, D) activation; this kernel does both in one."""
+    return _rows_call(functools.partial(_ln_mod_kernel, eps=eps),
+                      x, (shift, scale), block_rows, interpret, out="same")
 
 
 def gelu_quant(x: jnp.ndarray, block_rows: int = 128,
