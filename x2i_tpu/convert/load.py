@@ -111,6 +111,70 @@ def vae_params_from_diffusers(sd: Mapping, cfg: VAEConfig) -> Dict:
     return {"encoder": enc, "decoder": dec}
 
 
+def controlnext_params_from_reference(sd: Mapping, prefix: str = "") -> Dict:
+    """Reference ControlNeXtModel state dict -> models.controlnext.ControlNeXt
+    params (one branch).
+
+    Name map (reference lightcontrol/lightcontrol_flux.py:575-749 -> ours):
+      time_embedding.linear_{1,2}  -> time_linear{1,2}
+      embedding.{0,3,6} convs      -> stem{0,1,2}
+      embedding.{1,4,7} groupnorms -> stem_norm{0,1,2}
+      down_res.{i}.*               -> res_{i}.{norm1,conv1,time_emb_proj,
+                                              norm2,conv2[,conv_shortcut]}
+      down_sample.{i}.conv         -> down_{i}
+      mid_convs.0.{0,2,3,4}        -> mid0, mid_norm0, mid1, mid_norm1
+      mid_convs.1                  -> out_conv
+    """
+
+    def conv(name):
+        return {"kernel": _np(sd[prefix + name + ".weight"])
+                .transpose(2, 3, 1, 0),
+                "bias": _np(sd[prefix + name + ".bias"])}
+
+    def gn(name):
+        return {"scale": _np(sd[prefix + name + ".weight"]),
+                "bias": _np(sd[prefix + name + ".bias"])}
+
+    def lin(name):
+        return {"kernel": _np(sd[prefix + name + ".weight"]).T,
+                "bias": _np(sd[prefix + name + ".bias"])}
+
+    params: Dict[str, Any] = {
+        "time_linear1": lin("time_embedding.linear_1"),
+        "time_linear2": lin("time_embedding.linear_2"),
+        "stem0": conv("embedding.0"), "stem_norm0": gn("embedding.1"),
+        "stem1": conv("embedding.3"), "stem_norm1": gn("embedding.4"),
+        "stem2": conv("embedding.6"), "stem_norm2": gn("embedding.7"),
+        "mid0": conv("mid_convs.0.0"), "mid_norm0": gn("mid_convs.0.2"),
+        "mid1": conv("mid_convs.0.3"), "mid_norm1": gn("mid_convs.0.4"),
+        "out_conv": conv("mid_convs.1"),
+    }
+    i = 0
+    while prefix + f"down_res.{i}.norm1.weight" in sd:
+        res = {"norm1": gn(f"down_res.{i}.norm1"),
+               "conv1": conv(f"down_res.{i}.conv1"),
+               "time_emb_proj": lin(f"down_res.{i}.time_emb_proj"),
+               "norm2": gn(f"down_res.{i}.norm2"),
+               "conv2": conv(f"down_res.{i}.conv2")}
+        if prefix + f"down_res.{i}.conv_shortcut.weight" in sd:
+            res["conv_shortcut"] = conv(f"down_res.{i}.conv_shortcut")
+        params[f"res_{i}"] = res
+        params[f"down_{i}"] = conv(f"down_sample.{i}.conv")
+        i += 1
+    return {"params": params}
+
+
+def controlnext_bank_params_from_reference(sd: Mapping, n: int) -> Dict:
+    """Reference nn.ModuleList([ControlNeXtModel]*n) state dict (what
+    train_lightcontrol.py:785-791 saves) -> stacked (n, ...) params for
+    models.controlnext.apply_control_bank."""
+    import jax
+
+    per = [controlnext_params_from_reference(sd, prefix=f"{i}.")
+           for i in range(n)]
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per)
+
+
 def internvl_params_from_hf(sd: Mapping, cfg: InternVLConfig) -> Dict:
     """HF InternVLChatModel state dict -> models.internvl.InternVLEncoder."""
     L = cfg.vision.num_hidden_layers
