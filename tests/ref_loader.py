@@ -1,0 +1,130 @@
+"""Import helpers for the reference's vendored torch modules.
+
+The reference modules under /root/reference/minicpm were written against
+older deps (transformers 4.49 APIs, soundfile/librosa/vocos installed).
+This environment lacks some of those, so golden tests load the modules
+with minimal, semantics-preserving shims:
+
+  * stub modules for soundfile / librosa / vocos (audio-IO only; the
+    forward math under test never touches them),
+  * `LogitsWarper` (removed from new transformers) aliased to
+    LogitsProcessor via a source-level rewrite (an injected module
+    attribute is discarded by transformers' lazy import machinery),
+  * resampler.py's missing `from typing import List` injected (the
+    reference file uses the name without importing it).
+
+Nothing about the models' numerics is altered — the loaded classes run
+their original code.
+"""
+
+from __future__ import annotations
+
+import importlib.machinery
+import importlib.util
+import sys
+import types
+
+REF = "/root/reference/minicpm"
+
+
+def _stub(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
+def install_audio_stubs() -> None:
+    _stub("soundfile")
+    _stub("librosa")
+    v = _stub("vocos")
+    if not hasattr(v, "Vocos"):
+        v.Vocos = object
+    vp = _stub("vocos.pretrained")
+    if not hasattr(vp, "instantiate_class"):
+        vp.instantiate_class = lambda *a, **k: None
+    v.pretrained = vp
+
+
+_REWRITES = {
+    # removed from new transformers; only used as a type annotation /
+    # base class for the TTS logits warper
+    "from transformers import LogitsWarper":
+        "from transformers import LogitsProcessor as LogitsWarper",
+    "from transformers.generation.logits_process import LogitsWarper":
+        "from transformers.generation.logits_process import "
+        "LogitsProcessor as LogitsWarper",
+    # new transformers unified the attention dispatch into one class and
+    # dropped the past_key_value element from the return tuple; restore
+    # the old 3-tuple contract (numerics identical)
+    "from transformers.models.whisper.modeling_whisper import "
+    "WHISPER_ATTENTION_CLASSES":
+        "from transformers.models.whisper.modeling_whisper import "
+        "WhisperAttention as _WhisperAttention2\n"
+        "class _WhisperAttention3(_WhisperAttention2):\n"
+        "    def forward(self, *args, **kwargs):\n"
+        "        pkv = kwargs.pop('past_key_value', None)\n"
+        "        if pkv is not None:\n"
+        "            kwargs['past_key_values'] = pkv\n"
+        "        out = super().forward(*args, **kwargs)\n"
+        "        return out if len(out) == 3 else tuple(out) + (pkv,)\n"
+        "WHISPER_ATTENTION_CLASSES = {'eager': _WhisperAttention3, "
+        "'sdpa': _WhisperAttention3, "
+        "'flash_attention_2': _WhisperAttention3}",
+}
+
+
+def load_reference_module(filename: str, modname: str,
+                          extra_globals: dict | None = None
+                          ) -> types.ModuleType:
+    """Exec a reference file with the shims above; returns the module."""
+    install_audio_stubs()
+    path = f"{REF}/{filename}"
+    with open(path) as f:
+        src = f.read()
+    for old, new in _REWRITES.items():
+        src = src.replace(old, new)
+    mod = types.ModuleType(modname)
+    mod.__file__ = path
+    mod.__spec__ = importlib.machinery.ModuleSpec(modname, None,
+                                                  origin=path)
+    if extra_globals:
+        mod.__dict__.update(extra_globals)
+    sys.modules[modname] = mod
+    code = compile(src, path, "exec")
+    exec(code, mod.__dict__)
+    return mod
+
+
+def load_navit_siglip() -> types.ModuleType:
+    return load_reference_module("modeling_navit_siglip.py", "ref_navit")
+
+
+def load_resampler() -> types.ModuleType:
+    from typing import List
+    return load_reference_module("resampler.py", "ref_resampler",
+                                 extra_globals={"List": List})
+
+
+def load_minicpmo() -> types.ModuleType:
+    """modeling_minicpmo.py uses package-relative imports; register a
+    synthetic `refpkg` package rooted at the reference dir, pre-seed the
+    submodules that need shims, then exec with __package__ set."""
+    if "refpkg.modeling_minicpmo" in sys.modules:
+        return sys.modules["refpkg.modeling_minicpmo"]
+    install_audio_stubs()
+    pkg = types.ModuleType("refpkg")
+    pkg.__path__ = [REF]
+    pkg.__spec__ = importlib.machinery.ModuleSpec(
+        "refpkg", None, is_package=True)
+    pkg.__spec__.submodule_search_locations = [REF]
+    sys.modules.setdefault("refpkg", pkg)
+    from typing import List
+    sys.modules["refpkg.resampler"] = load_reference_module(
+        "resampler.py", "refpkg.resampler", extra_globals={"List": List})
+    sys.modules["refpkg.modeling_navit_siglip"] = load_reference_module(
+        "modeling_navit_siglip.py", "refpkg.modeling_navit_siglip")
+    mod = load_reference_module("modeling_minicpmo.py",
+                                "refpkg.modeling_minicpmo",
+                                extra_globals={"__package__": "refpkg"})
+    return mod

@@ -21,7 +21,14 @@ from x2i_tpu.ops.attention import attention
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, h: int, w: int) -> np.ndarray:
-    """(h, w, embed_dim) numpy table (resampler.py:32-80)."""
+    """(h, w, embed_dim) numpy table (resampler.py:32-80).
+
+    Axis order matters on non-square slices: the reference's meshgrid
+    puts the COLUMN (w) coordinate in grid[0], so the first half of the
+    embedding encodes w and the second half h (resampler.py:46,56-58 —
+    the `emb_h` variable there is actually built from the w coordinate).
+    Pinned by tests/test_minicpm_reference_golden.py against the
+    reference module itself."""
     def one_axis(dim, pos):
         omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
         omega = 1.0 / 10000 ** omega
@@ -30,9 +37,9 @@ def get_2d_sincos_pos_embed(embed_dim: int, h: int, w: int) -> np.ndarray:
 
     grid_w, grid_h = np.meshgrid(np.arange(w, dtype=np.float32),
                                  np.arange(h, dtype=np.float32))
-    emb_h = one_axis(embed_dim // 2, grid_h)
-    emb_w = one_axis(embed_dim // 2, grid_w)
-    return np.concatenate([emb_h, emb_w], axis=-1)
+    emb_first = one_axis(embed_dim // 2, grid_w)
+    emb_second = one_axis(embed_dim // 2, grid_h)
+    return np.concatenate([emb_first, emb_second], axis=-1)
 
 
 @dataclass(frozen=True)

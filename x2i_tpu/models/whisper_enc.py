@@ -128,8 +128,15 @@ class WhisperEncoder(nn.Module):
 
 
 class AudioProjector(nn.Module):
-    """AvgPool1d(pool_step) + linear-relu-linear
-    (modeling_minicpmo.py:110-115, audio_pool_step=2)."""
+    """linear-relu-linear projector THEN AvgPool1d(pool_step).
+
+    Order matters: the reference projects the whisper states to LLM width
+    first and avg-pools the projected features
+    (modeling_minicpmo.py:529-533 — projection_layer, transpose,
+    audio_avg_pooler, transpose); with the ReLU in between, pooling first
+    gives different numbers. Pinned by
+    tests/test_minicpm_reference_golden.py::test_minicpmo_composite_golden.
+    """
     llm_dim: int
     pool_step: int = 2
     dtype: Any = jnp.bfloat16
@@ -138,12 +145,12 @@ class AudioProjector(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, d) -> (B, T // pool_step, llm_dim)."""
-        b, t, d = x.shape
-        t2 = t // self.pool_step
-        x = x[:, :t2 * self.pool_step].reshape(b, t2, self.pool_step, d)
-        x = jnp.mean(x, axis=2)
         x = nn.Dense(self.llm_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="linear1")(x)
         x = nn.relu(x)
-        return nn.Dense(self.llm_dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="linear2")(x)
+        x = nn.Dense(self.llm_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear2")(x)
+        b, t, d = x.shape
+        t2 = t // self.pool_step
+        x = x[:, :t2 * self.pool_step].reshape(b, t2, self.pool_step, d)
+        return jnp.mean(x, axis=2)
