@@ -25,6 +25,7 @@ import sys
 import types
 
 REF = "/root/reference/minicpm"
+REF_IVL = "/root/reference/model_internvl/internvl"
 
 
 def _stub(name: str) -> types.ModuleType:
@@ -74,12 +75,29 @@ _REWRITES = {
 }
 
 
+def install_timm_stub() -> None:
+    """timm is absent; the reference InternViT only uses DropPath, which
+    at drop_path_rate=0 (the shipped configs) is Identity anyway."""
+    import torch.nn as nn
+    t = _stub("timm")
+    tm = _stub("timm.models")
+    tl = _stub("timm.models.layers")
+    if not hasattr(tl, "DropPath"):
+        class DropPath(nn.Identity):
+            def __init__(self, drop_prob=0.0):
+                assert not drop_prob, "stubbed DropPath supports rate 0 only"
+                super().__init__()
+        tl.DropPath = DropPath
+    tm.layers = tl
+    t.models = tm
+
+
 def load_reference_module(filename: str, modname: str,
-                          extra_globals: dict | None = None
-                          ) -> types.ModuleType:
+                          extra_globals: dict | None = None,
+                          root: str = REF) -> types.ModuleType:
     """Exec a reference file with the shims above; returns the module."""
     install_audio_stubs()
-    path = f"{REF}/{filename}"
+    path = f"{root}/{filename}"
     with open(path) as f:
         src = f.read()
     for old, new in _REWRITES.items():
@@ -104,6 +122,25 @@ def load_resampler() -> types.ModuleType:
     from typing import List
     return load_reference_module("resampler.py", "ref_resampler",
                                  extra_globals={"List": List})
+
+
+def load_intern_vit() -> types.ModuleType:
+    """The reference InternViT (modeling_intern_vit.py) with a timm
+    DropPath stub; relative config import pre-seeded via a synthetic
+    package rooted at model_internvl/internvl."""
+    if "refivl.modeling_intern_vit" in sys.modules:
+        return sys.modules["refivl.modeling_intern_vit"]
+    install_timm_stub()
+    pkg = types.ModuleType("refivl")
+    pkg.__path__ = [REF_IVL]
+    pkg.__spec__ = importlib.machinery.ModuleSpec(
+        "refivl", None, is_package=True)
+    pkg.__spec__.submodule_search_locations = [REF_IVL]
+    sys.modules.setdefault("refivl", pkg)
+    return load_reference_module("modeling_intern_vit.py",
+                                 "refivl.modeling_intern_vit",
+                                 extra_globals={"__package__": "refivl"},
+                                 root=REF_IVL)
 
 
 def load_minicpmo() -> types.ModuleType:

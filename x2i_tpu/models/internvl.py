@@ -73,6 +73,32 @@ class InternViTBlock(nn.Module):
         return hidden + x * ls2.astype(x.dtype)
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int):
+    """(out_size, in_size) interpolation matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=False, antialias=False):
+    source coord (i+0.5)*in/out-0.5, 4-tap cubic convolution kernel with
+    A=-0.75, border-replicated taps."""
+    import numpy as np
+    A = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return ((A + 2) * x - (A + 3)) * x * x + 1
+        if x < 2:
+            return (((x - 5) * x + 8) * x - 4) * A
+        return 0.0
+
+    w = np.zeros((out_size, in_size), np.float32)
+    scale = in_size / out_size
+    for i in range(out_size):
+        coord = (i + 0.5) * scale - 0.5
+        t0 = int(np.floor(coord))
+        for tap in range(t0 - 1, t0 + 3):
+            w[i, min(max(tap, 0), in_size - 1)] += k(coord - tap)
+    return w
+
+
 class InternViT(nn.Module):
     cfg: InternViTConfig
 
@@ -98,10 +124,16 @@ class InternViT(nn.Module):
                          cfg.param_dtype)
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (base, base):
+            # torch F.interpolate(mode='bicubic', align_corners=False)
+            # semantics (modeling_intern_vit.py:154-160): fixed 4-tap
+            # cubic kernel, NO antialiasing on downscale (jax.image.resize
+            # antialiases, which drifts the table ~20% on 2x downscale).
+            # Weights are static per (gh, gw) -> host numpy, two matmuls.
             grid = pos_patch.astype(jnp.float32).reshape(
-                1, base, base, cfg.hidden_size)
-            grid = jax.image.resize(grid, (1, gh, gw, cfg.hidden_size),
-                                    "cubic")
+                base, base, cfg.hidden_size)
+            wh = jnp.asarray(_torch_bicubic_weights(base, gh))
+            ww = jnp.asarray(_torch_bicubic_weights(base, gw))
+            grid = jnp.einsum("ou,uvc,pv->opc", wh, grid, ww)
             pos_patch = grid.reshape(1, gh * gw, cfg.hidden_size)
         hidden = jnp.concatenate(
             [cls.astype(cfg.dtype) + jnp.zeros((b, 1, cfg.hidden_size),
