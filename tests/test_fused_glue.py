@@ -187,9 +187,15 @@ def test_flux_fused_glue_end_to_end(rng, quant):
         out = m1.apply(qparams, lat, txt, pooled, t, img_ids, txt_ids)
     ref = np.asarray(ref, np.float32)
     out = np.asarray(out, np.float32)
-    # both are valid w8a8 evaluations; differences are bounded by the
-    # activation-quant step noise accumulated over the blocks
     corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
-    assert corr > 0.999, corr
     rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
-    assert rel < 0.05, rel
+    if quant == "w8a8":
+        # both are valid w8a8 evaluations; differences are bounded by the
+        # activation-quant step noise accumulated over the blocks
+        assert corr > 0.999, corr
+        assert rel < 0.05, rel
+    else:
+        # 'ln' mode computes identical bf16 math with no quantization
+        # noise — only fusion-order rounding differs
+        assert corr > 0.9999, corr
+        assert rel < 1e-2, rel

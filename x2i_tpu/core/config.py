@@ -77,8 +77,14 @@ class FluxConfig:
                                      # fusing LN+modulate+quantize, gelu+
                                      # quantize and plain row-quantize into
                                      # one HBM pass each (ops/fused_glue).
-                                     # Not differentiable — trainers and
-                                     # KD-emitting paths keep XLA glue.
+                                     # Not differentiable — KD-emitting
+                                     # paths auto-fall-back to XLA glue,
+                                     # but differentiating a fused model
+                                     # with kd_target=None (e.g. reusing
+                                     # an inference config for adapter/
+                                     # control training) fails inside the
+                                     # Pallas vjp: build trainer configs
+                                     # with fused_glue=False.
     shard_activations: bool = False  # tensor-parallel constraints (heads/
                                      # ffn over the mesh 'tensor' axis);
                                      # requires running under jax.set_mesh

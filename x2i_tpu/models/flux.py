@@ -257,7 +257,7 @@ class FluxDoubleBlock(nn.Module):
         tkn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
                      name="txt_k_norm")
         qk_norm = None
-        if fused:
+        if fused is not None:   # qk-norm fold applies to ALL fused modes
             # per-row (S, D) scale tables: txt rows carry the txt norm
             # weight, img rows the img one — the norm itself (rsqrt of
             # the row mean square) runs inside the flash kernel
@@ -389,7 +389,7 @@ class FluxSingleBlock(nn.Module):
         kn = QKNorm(head_dim, cfg.qk_norm_eps, cfg.param_dtype,
                     name="k_norm")
         qk_norm = None
-        if fused:
+        if fused is not None:   # qk-norm fold applies to ALL fused modes
             # norm folded into the flash kernel (raw projections are the
             # only HBM form of q/k); params unchanged
             qk_norm = (qn(q, scale_only=True), kn(k, scale_only=True),

@@ -45,17 +45,23 @@ def _row_quantize(mf: jnp.ndarray):
     return q, a_scale
 
 
-def _ln_mod_quant_kernel(x_ref, shift_ref, scale_ref, q_ref, s_ref, *,
-                         eps: float):
+def _ln_modulate(x_ref, shift_ref, scale_ref, *, eps: float):
+    """Shared LN+modulate body of the two ln_mod kernels (quantizing and
+    same-dtype) — one definition so their numerics cannot drift."""
     x = x_ref[0].astype(jnp.float32)                      # (R, D)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     # round to the storage dtype exactly where the unfused path does
-    # (ops/norms.layer_norm returns input-dtype), so quantization sees
-    # the same values
+    # (ops/norms.layer_norm returns input-dtype), so downstream stages
+    # see the same values
     y = (xc * jax.lax.rsqrt(var + eps)).astype(x_ref.dtype)
-    m = y * (1.0 + scale_ref[0, 0][None, :]) + shift_ref[0, 0][None, :]
+    return y * (1.0 + scale_ref[0, 0][None, :]) + shift_ref[0, 0][None, :]
+
+
+def _ln_mod_quant_kernel(x_ref, shift_ref, scale_ref, q_ref, s_ref, *,
+                         eps: float):
+    m = _ln_modulate(x_ref, shift_ref, scale_ref, eps=eps)
     q, a = _row_quantize(m.astype(jnp.float32))
     q_ref[0] = q
     s_ref[0] = a
@@ -79,12 +85,8 @@ def _ln_mod_kernel(x_ref, shift_ref, scale_ref, o_ref, *, eps: float):
     """LayerNorm + modulate in one pass, same-dtype output (no quantize):
     the glue fusion for weight-only (w8/w4) and bf16 inference, where the
     matmuls take bf16 activations directly."""
-    x = x_ref[0].astype(jnp.float32)                      # (R, D)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = (xc * jax.lax.rsqrt(var + eps)).astype(x_ref.dtype)
-    o_ref[0] = y * (1.0 + scale_ref[0, 0][None, :]) + shift_ref[0, 0][None, :]
+    o_ref[0] = _ln_modulate(x_ref, shift_ref, scale_ref,
+                            eps=eps).astype(x_ref.dtype)
 
 
 def _rows_call(kernel, x, extra=(), block_rows: int = 256,
