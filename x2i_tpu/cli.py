@@ -3,9 +3,15 @@
 Task surface and flags from /root/reference/infer/inference_minicpm.py:29-35
 and its qwenvl/internvl siblings: --task {text2image, image2image,
 imagetext2image, video2image, audio2image, x2image}, --num_steps,
---flux_path/--mllm_path/--proj_path, sizes, seed. `--random-weights tiny`
+--flux_path/--mllm_path/--proj_path, sizes, seed; --use_answer
+(reasoning2image, inference_qwenvl.py:121-132). `--random-weights tiny`
 runs the full pipeline with random parameters (smoke/e2e without
 checkpoints).
+
+`x2i_tpu.cli multiturn` is the interactive chat REPL
+(/root/reference/infer/inference_multi_turn.py:80-165): each turn decodes
+an answer, conditions on cat(prefill, answer) hidden states, and writes an
+image with a fixed seed.
 """
 
 from __future__ import annotations
@@ -23,6 +29,10 @@ TASKS = ("text2image", "image2image", "imagetext2image", "video2image",
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("x2i_tpu")
     p.add_argument("--task", choices=TASKS, default="text2image")
+    p.add_argument("--use_answer", action="store_true",
+                   help="reasoning2image: decode an answer and condition "
+                        "on cat(prefill, answer) hidden states "
+                        "(Qwen2.5-VL family)")
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--image", type=str, action="append", default=None,
                    help="input image path(s)")
@@ -45,7 +55,73 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_multiturn_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("x2i_tpu multiturn")
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0,
+                   help="fixed per-session seed (inference_multi_turn.py "
+                        "uses 0 so turns refine the same trajectory)")
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--flux_path", type=str, default=None)
+    p.add_argument("--mllm_path", type=str, default=None)
+    p.add_argument("--proj_path", type=str, default=None)
+    p.add_argument("--model", type=str, default="x2i-qwenvl2.5-7b")
+    p.add_argument("--random-weights", choices=("tiny",), default=None)
+    p.add_argument("--output_prefix", type=str, default="multiturn_",
+                   help="images are written to {prefix}{turn}.png")
+    return p
+
+
+def multiturn_main(argv=None) -> int:
+    """Interactive REPL (inference_multi_turn.py:80-165): empty input is
+    rejected, 'stop' exits, every other line is one conversation turn."""
+    args = build_multiturn_parser().parse_args(argv)
+
+    if args.random_weights:
+        from x2i_tpu.multiturn import build_random_session
+        session = build_random_session(seed=args.seed,
+                                       max_new_tokens=8)
+    else:
+        if not (args.flux_path and args.proj_path and args.mllm_path):
+            print("error: provide --flux_path/--mllm_path/--proj_path or "
+                  "--random-weights tiny", file=sys.stderr)
+            return 2
+        from x2i_tpu.multiturn import build_session_from_checkpoints
+        session = build_session_from_checkpoints(
+            model=args.model, flux_path=args.flux_path,
+            mllm_path=args.mllm_path, proj_path=args.proj_path,
+            num_steps=args.num_steps, height=args.height,
+            width=args.width, seed=args.seed,
+            max_new_tokens=args.max_new_tokens)
+
+    from PIL import Image
+    turn = 0
+    while True:
+        try:
+            raw = input("\nPlease Input Query (stop to exit) >>> ")
+        except EOFError:
+            break
+        if not raw:
+            print("Query should not be empty!")
+            continue
+        if raw == "stop":
+            break
+        answer, image = session.turn(raw)
+        turn += 1
+        path = f"{args.output_prefix}{turn}.png"
+        Image.fromarray(np.asarray(image)[0]).save(path)
+        print(answer)
+        print(f"wrote {path}")
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "multiturn":
+        return multiturn_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     if args.random_weights:
@@ -91,7 +167,8 @@ def main(argv=None) -> int:
         return 2
 
     out = pipe.run_task(args.task, prompt=args.prompt, images=images,
-                        video=video, audio=audio, seed=args.seed)
+                        video=video, audio=audio, seed=args.seed,
+                        use_answer=args.use_answer)
 
     from PIL import Image
     img = Image.fromarray(out[0])

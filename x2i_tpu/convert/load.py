@@ -302,6 +302,10 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
     encoder = InternVLEncoder(mllm_cfg)
 
     def encoder_fn(inputs):
+        if inputs.get("use_answer"):
+            raise ValueError("--use_answer is a Qwen2.5-VL feature "
+                             "(inference_qwenvl.py:121-132); the internvl "
+                             "family has no answer-conditioned mode")
         task = inputs.get("task", "text2image")
         images = inputs.get("images") or []
         question = task_instruction(task, inputs.get("prompt"),
@@ -386,10 +390,27 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             vdict = {k: jnp.asarray(vin[k]) for k in
                      ("patches", "pos_hw", "window_seg", "image_seg",
                       "reverse_index")}
+        if inputs.get("use_answer"):
+            # reasoning2image (inference_qwenvl.py:121-132): decode up to
+            # 128 answer tokens and condition on cat(prefill, answer)
+            from x2i_tpu.models.qwen2_5_vl import encode_with_answer
+            stack, _, _ = encode_with_answer(
+                encoder, {"params": enc_params}, jnp.asarray(ids),
+                jnp.asarray(mask, bool), jnp.asarray(pos3d), vdict,
+                max_new_tokens=128,
+                eos_token_id=tokenizer.eos_token_id or 151645)
+            return stack
         return encoder.apply({"params": enc_params}, jnp.asarray(ids),
                              jnp.asarray(mask, bool), jnp.asarray(pos3d),
                              vdict)
 
+    # handles for callers that drive the LM directly (multiturn REPL)
+    from x2i_tpu.models.qwen2 import Qwen2LM
+    encoder_fn.ctx = {
+        "lm": Qwen2LM(full_cfg.llm),
+        "lm_params": {"params": enc_params["language_model"]},
+        "tokenizer": tokenizer,
+        "eos_token_id": tokenizer.eos_token_id or 151645}
     return encoder_fn
 
 
@@ -412,6 +433,10 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     encoder = MiniCPMOEncoder(cfg)
 
     def encoder_fn(inputs):
+        if inputs.get("use_answer"):
+            raise ValueError("--use_answer is a Qwen2.5-VL feature "
+                             "(inference_qwenvl.py:121-132); the minicpm "
+                             "family has no answer-conditioned mode")
         images = list(inputs.get("images") or [])
         video = inputs.get("video")
         if video is not None:

@@ -203,9 +203,10 @@ class X2IPipeline:
                  images: Optional[Sequence] = None,
                  video: Optional[Any] = None,
                  audio: Optional[Any] = None,
+                 use_answer: bool = False,
                  **gen_kwargs) -> np.ndarray:
         inputs = {"prompt": prompt, "images": images, "video": video,
-                  "audio": audio, "task": task}
+                  "audio": audio, "task": task, "use_answer": use_answer}
         pooled, prompt_embeds = self.encode(inputs)
         return self.generate(pooled, prompt_embeds, **gen_kwargs)
 
@@ -289,6 +290,16 @@ def build_random_pipeline(scale: str = "tiny",
 
     def encoder_fn(inputs):
         ids = jnp.asarray(tokenize(inputs.get("prompt") or ""))
+        if inputs.get("use_answer"):
+            # reasoning2image (inference_qwenvl.py:121-132): decode an
+            # answer and condition on cat(prefill, step) hidden states
+            from x2i_tpu.models.decoding import (concat_answer_hiddens,
+                                                 greedy_decode_with_hiddens)
+            emb = lm.apply(lm_params, ids, method=Qwen2LM.embed)
+            mask = jnp.ones(ids.shape, bool)
+            prefill, steps, _, _ = greedy_decode_with_hiddens(
+                lm, lm_params, emb, mask, max_new_tokens=8, eos_token_id=1)
+            return concat_answer_hiddens(prefill, steps)
         states, _ = lm.apply(lm_params, ids)
         return states
 
@@ -305,9 +316,15 @@ def build_random_pipeline(scale: str = "tiny",
     vae = AutoencoderKL(vae_cfg)
     vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)))
 
-    return X2IPipeline(
+    pipe = X2IPipeline(
         encoder_fn=encoder_fn, proj=proj, proj_params=proj_params,
         flux=flux, flux_params=flux_params, vae=vae, vae_params=vae_params,
         scheduler=FlowMatchEulerScheduler(SchedulerConfig(shift=1.0)),
         gen_cfg=gen_cfg or GenerationConfig(height=64, width=64,
                                             num_inference_steps=4))
+    # expose the tiny LM so multiturn.build_random_session can drive a
+    # chat session over the same random weights (not a dataclass field:
+    # checkpoint-backed pipelines don't have it)
+    pipe._random_ctx = {"lm": lm, "lm_params": lm_params,
+                        "lm_cfg": lm_cfg, "tokenize": tokenize}
+    return pipe
