@@ -165,3 +165,85 @@ def load_minicpmo() -> types.ModuleType:
                                 "refpkg.modeling_minicpmo",
                                 extra_globals={"__package__": "refpkg"})
     return mod
+
+
+def install_datamodule_stubs() -> None:
+    """webdataset / torchvision / pytorch_lightning / braceexpand /
+    core.data.dataloader are absent; the datamodule parity goldens only
+    call `ImageEmbeddingDataset.preproc` (pure tokenization), which
+    touches none of them — stub just enough for module import.
+
+    What must exist at import time of utils/datamodule_*.py:
+      * class bases `wds.DataPipeline` / `wds.compat.FluidInterface`
+        and `LightningDataModule`,
+      * `wds.handlers.reraise_exception` (a def-time default arg),
+      * `wds.filters.pipelinefilter` (called at module level),
+      * attribute-only imports from torchvision / braceexpand / tqdm /
+        core.data.dataloader.
+    """
+    w = _stub("webdataset")
+    if not hasattr(w, "DataPipeline"):
+        class DataPipeline:
+            def __init__(self, *a, **k):
+                pass
+        w.DataPipeline = DataPipeline
+        compat = _stub("webdataset.compat")
+        class FluidInterface:
+            pass
+        compat.FluidInterface = FluidInterface
+        w.compat = compat
+        handlers = _stub("webdataset.handlers")
+        handlers.reraise_exception = lambda exn: False
+        w.handlers = handlers
+        filters = _stub("webdataset.filters")
+        filters.pipelinefilter = lambda fn: (lambda *a, **k: fn)
+        w.filters = filters
+
+    tv = _stub("torchvision")
+    tvt = _stub("torchvision.transforms")
+    tvf = _stub("torchvision.transforms.functional")
+    if not hasattr(tvf, "crop"):
+        tvf.crop = lambda img, top, left, h, w_: img
+    tvt.functional = tvf
+    for name in ("Compose", "ToTensor", "Normalize", "CenterCrop"):
+        if not hasattr(tvt, name):
+            setattr(tvt, name, type(name, (), {
+                "__init__": lambda self, *a, **k: None}))
+    tvu = _stub("torchvision.utils")
+    if not hasattr(tvu, "save_image"):
+        tvu.save_image = lambda *a, **k: None
+    tv.transforms = tvt
+    tv.utils = tvu
+
+    pl = _stub("pytorch_lightning")
+    if not hasattr(pl, "LightningDataModule"):
+        class LightningDataModule:
+            def __init__(self, *a, **k):
+                pass
+        pl.LightningDataModule = LightningDataModule
+
+    _stub("braceexpand")
+    zh = _stub("zhconv")
+    if not hasattr(zh, "convert"):
+        zh.convert = lambda text, locale: text   # identity: goldens use
+        # captions that are already simplified Chinese or English
+    core = _stub("core")
+    cdata = _stub("core.data")
+    cdl = _stub("core.data.dataloader")
+    if not hasattr(cdl, "PreprocessDataLoader"):
+        cdl.PreprocessDataLoader = object
+    if not hasattr(cdl, "Preprocess"):
+        cdl.Preprocess = object
+    cdata.dataloader = cdl
+    core.data = cdata
+
+
+def load_reference_datamodule(family: str) -> types.ModuleType:
+    """Load /root/reference/utils/datamodule_{family}.py with the stubs
+    above; returns the module (use ImageEmbeddingDataset.preproc)."""
+    name = f"refdm_{family}"
+    if name in sys.modules:
+        return sys.modules[name]
+    install_datamodule_stubs()
+    return load_reference_module(f"datamodule_{family}.py", name,
+                                 root="/root/reference/utils")

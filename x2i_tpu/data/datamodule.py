@@ -30,6 +30,34 @@ def instruction_dict(caption: str, edit: str = "no",
                 edit, "image input": image_input})
 
 
+def family_chat_template(model: str, mllm_tokenizer) -> Callable[[str], str]:
+    """Training-time prompt wrapper per encoder family, matching the
+    reference datamodules exactly:
+
+      * InternVL tokenizes the PLAIN str(Instructions) — the template
+        call in datamodule_internvl.py:278-291 is commented out (only
+        inference_internvl.py uses the conv template);
+      * MiniCPM chat-templates a plain-string user message
+        (datamodule_minicpm.py:281-287);
+      * Qwen chat-templates a typed content LIST
+        (datamodule_qwenvl.py:277-286) — some templates render list vs
+        string content differently, so the form matters.
+
+    `mllm_tokenizer` is the object carrying apply_chat_template (for
+    MiniCPM the processor's inner tokenizer, datamodule_minicpm.py:287).
+    """
+    if "internvl" in model:
+        return lambda s: s
+    if "qwenvl" in model:
+        return lambda s: mllm_tokenizer.apply_chat_template(
+            [{"role": "user",
+              "content": [{"type": "text", "text": s}]}],
+            tokenize=False, add_generation_prompt=True)
+    return lambda s: mllm_tokenizer.apply_chat_template(
+        [{"role": "user", "content": s}], tokenize=False,
+        add_generation_prompt=True)
+
+
 @dataclasses.dataclass
 class DistillDataConfig:
     urls: Any = None

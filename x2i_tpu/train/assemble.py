@@ -47,7 +47,6 @@ def assemble_distill(model: str, flux_path: str, mllm_path: str,
     from x2i_tpu.models.flux import FluxTransformer2D
     from x2i_tpu.models.proj import Proj
     from x2i_tpu.models.t5 import T5Config, T5Encoder
-    from x2i_tpu.models.templates import internvl2_5_prompt, task_instruction
     from x2i_tpu.train.distill import (TrainState, make_distill_step,
                                        make_optimizer)
 
@@ -159,16 +158,11 @@ def assemble_distill(model: str, flux_path: str, mllm_path: str,
         return clip_tok(caption, padding="max_length", max_length=77,
                         truncation=True)["input_ids"]
 
-    # training-time prompt wrapper per family: InternVL uses the conv
-    # template over str(Instructions) (datamodule_internvl.py:283-291);
-    # qwen/minicpm run their chat templates (datamodule_{qwenvl,
-    # minicpm}.py:269-302)
-    if "internvl" in model:
-        chat_template = lambda s: internvl2_5_prompt(s)  # noqa: E731
-    else:
-        chat_template = lambda s: mllm_tok.apply_chat_template(  # noqa
-            [{"role": "user", "content": s}], tokenize=False,
-            add_generation_prompt=True)
+    # per-family prompt wrapper matching the reference datamodules
+    # (see data.datamodule.family_chat_template; golden-pinned against
+    # the reference preproc in tests/test_datamodule_reference_golden.py)
+    from x2i_tpu.data.datamodule import family_chat_template
+    chat_template = family_chat_template(model, mllm_tok)
 
     dm = DistillDataModule(
         DistillDataConfig(urls=urls, batch_size=dcfg.train_batch_size,
