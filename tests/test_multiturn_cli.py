@@ -32,6 +32,7 @@ def test_multiturn_repl_three_turns(tmp_path, monkeypatch, capsys):
     assert not (tmp_path / "mt_4.png").exists()
 
 
+@pytest.mark.slow
 def test_multiturn_history_changes_conditioning():
     """The same user message after different histories produces different
     images (history is part of the prompt), and the per-session seed is
@@ -47,6 +48,7 @@ def test_multiturn_history_changes_conditioning():
                               np.asarray(img_after_history))
 
 
+@pytest.mark.slow
 def test_multiturn_eof_exits(monkeypatch):
     def raise_eof(_=""):
         raise EOFError
@@ -64,6 +66,7 @@ def test_use_answer_changes_conditioning():
     assert not np.array_equal(plain, answered)
 
 
+@pytest.mark.slow
 def test_use_answer_cli(tmp_path):
     out = str(tmp_path / "ua.png")
     rc = cli.main(["--task", "text2image", "--prompt", "a cat",
@@ -74,6 +77,7 @@ def test_use_answer_cli(tmp_path):
     assert Image.open(out).size == (64, 64)
 
 
+@pytest.mark.slow
 def test_use_answer_rejected_off_family():
     """Non-Qwen encoder families reject use_answer loudly (it is an
     inference_qwenvl.py-only feature)."""

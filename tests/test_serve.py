@@ -122,3 +122,56 @@ def test_pipeline_serving_integration():
     assert imgs[0].shape == (64, 64, 3)
     assert not np.array_equal(imgs[0], imgs[1])   # different prompts
     srv.close()
+
+
+def test_encode_batch_matches_serial():
+    """The single-prefill batched encoder produces the same conditioning
+    (and run_batch the same images) as per-request serial encodes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from x2i_tpu.pipeline import build_random_pipeline
+
+    pipe = build_random_pipeline("tiny")
+    assert pipe.encoder_batch_fn is not None
+    reqs = [{"prompt": f"req {i}", "task": "text2image"} for i in range(3)]
+
+    pooled_b, embeds_b = pipe.encode_batch(reqs)
+    serial = dataclasses.replace(pipe, encoder_batch_fn=None)
+    pooled_s, embeds_s = serial.encode_batch(reqs)
+    np.testing.assert_allclose(np.asarray(pooled_b, np.float32),
+                               np.asarray(pooled_s, np.float32),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(embeds_b, np.float32),
+                               np.asarray(embeds_s, np.float32),
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_run_batch_batched_encoder_images():
+    """run_batch with the single-prefill batched encoder produces the
+    same images as serial encodes, and uniformly-use_answer batches take
+    the serial fallback (NB a batch must be uniformly use_answer or not:
+    answer tokens extend the conditioning sequence)."""
+    import dataclasses
+
+    import numpy as np
+
+    from x2i_tpu.pipeline import build_random_pipeline
+
+    pipe = build_random_pipeline("tiny")
+    reqs = [{"prompt": f"req {i}", "task": "text2image"} for i in range(3)]
+    serial = dataclasses.replace(pipe, encoder_batch_fn=None)
+    imgs_b = pipe.run_batch(reqs, seed=5)
+    imgs_s = serial.run_batch(reqs, seed=5)
+    assert imgs_b.shape[0] == 3
+    np.testing.assert_array_equal(imgs_b, imgs_s)
+
+    _, embeds_b = pipe.encode_batch(reqs)
+    answered = [{"prompt": f"why {i}", "task": "text2image",
+                 "use_answer": True} for i in range(2)]
+    pooled_a, embeds_a = pipe.encode_batch(answered)
+    assert pooled_a.shape[0] == 2
+    assert embeds_a.shape[1] > embeds_b.shape[1]   # prefill + answer

@@ -10,7 +10,8 @@ from x2i_tpu.convert.torch_models import clip_params_from_hf, t5_params_from_hf
 from x2i_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
 from x2i_tpu.models.t5 import T5Config, T5Encoder
 
-pytestmark = pytest.mark.slow
+# fast tier: these are the only T5/CLIP teacher goldens — the default
+# pytest run must cover every converter family (driver-visible tier)
 
 
 def test_t5_encoder_matches_hf(rng):

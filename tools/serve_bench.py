@@ -85,6 +85,23 @@ def main(argv=None) -> dict:
     light_pad = bench(srv_pad, args.requests, 1)
     srv_pad.close()
 
+    # batched vs serial encoder at full batch: same request list through
+    # run_batch with and without the single-prefill encoder program
+    import dataclasses
+    reqs = [{"prompt": f"encoder bench {i}", "task": "text2image"}
+            for i in range(args.batch_size)]
+    serial_pipe = dataclasses.replace(pipe, encoder_batch_fn=None)
+    for p in (pipe, serial_pipe):     # warm both compiled programs
+        p.run_batch(reqs)
+    t0 = time.monotonic()
+    for _ in range(3):
+        pipe.run_batch(reqs)
+    batched_s = (time.monotonic() - t0) / 3
+    t0 = time.monotonic()
+    for _ in range(3):
+        serial_pipe.run_batch(reqs)
+    serial_s = (time.monotonic() - t0) / 3
+
     result = {
         "batch_size": args.batch_size,
         "size": args.size,
@@ -93,6 +110,9 @@ def main(argv=None) -> dict:
         "light_load_always_pad": light_pad,
         "bucket_speedup_at_light_load":
             light_pad["latency_p50_s"] / light["latency_p50_s"],
+        "run_batch_batched_encoder_rps": args.batch_size / batched_s,
+        "run_batch_serial_encoder_rps": args.batch_size / serial_s,
+        "batched_encoder_speedup": serial_s / batched_s,
     }
     print(json.dumps(result))
     return result

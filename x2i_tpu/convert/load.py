@@ -326,6 +326,24 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
         px = None if tiles is None else jnp.asarray(tiles)
         return encoder.apply({"params": enc_params}, ids, mask, px)
 
+    def encoder_batch_fn(inputs_list):
+        """One padded 512-token prefill for text request lists; image
+        requests fall back to serial (per-request tile counts)."""
+        if any(i.get("images") or i.get("use_answer")
+               for i in inputs_list):
+            return jnp.concatenate(
+                [encoder_fn(i) for i in inputs_list], axis=0)
+        queries = [internvl2_5_prompt(task_instruction(
+            i.get("task", "text2image"), i.get("prompt"), num_images=0))
+            for i in inputs_list]
+        enc = tokenizer(queries, padding="max_length", max_length=512,
+                        truncation=True)
+        return encoder.apply(
+            {"params": enc_params},
+            jnp.asarray(enc["input_ids"], jnp.int32),
+            jnp.asarray(enc["attention_mask"], bool), None)
+
+    encoder_fn.batch = encoder_batch_fn
     return encoder_fn
 
 
@@ -351,7 +369,8 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     encoder = Qwen2_5_VLEncoder(full_cfg)
     merge_tokens = full_cfg.vision.spatial_merge_size ** 2
 
-    def encoder_fn(inputs):
+    def _prep(inputs):
+        """-> (ids (1,512), mask (1,512), pos3d (3,1,512), vdict|None)"""
         images = inputs.get("images") or []
         video = inputs.get("video")
         messages = qwen_chat_messages(inputs.get("task", "text2image"),
@@ -390,6 +409,10 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             vdict = {k: jnp.asarray(vin[k]) for k in
                      ("patches", "pos_hw", "window_seg", "image_seg",
                       "reverse_index")}
+        return ids, mask, pos3d, vdict
+
+    def encoder_fn(inputs):
+        ids, mask, pos3d, vdict = _prep(inputs)
         if inputs.get("use_answer"):
             # reasoning2image (inference_qwenvl.py:121-132): decode up to
             # 128 answer tokens and condition on cat(prefill, answer)
@@ -404,6 +427,23 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                              jnp.asarray(mask, bool), jnp.asarray(pos3d),
                              vdict)
 
+    def encoder_batch_fn(inputs_list):
+        """One padded 512-token prefill for a whole text request list;
+        multimodal or use_answer requests fall back to serial encodes
+        (their vision tensors are per-request shapes)."""
+        if any(i.get("images") or i.get("video") or i.get("audio")
+               or i.get("use_answer") for i in inputs_list):
+            return jnp.concatenate(
+                [encoder_fn(i) for i in inputs_list], axis=0)
+        preps = [_prep(i) for i in inputs_list]
+        ids = np.concatenate([p[0] for p in preps], axis=0)
+        mask = np.concatenate([p[1] for p in preps], axis=0)
+        pos3d = np.concatenate([p[2] for p in preps], axis=1)
+        return encoder.apply({"params": enc_params}, jnp.asarray(ids),
+                             jnp.asarray(mask, bool), jnp.asarray(pos3d),
+                             None)
+
+    encoder_fn.batch = encoder_batch_fn
     # handles for callers that drive the LM directly (multiturn REPL)
     from x2i_tpu.models.qwen2 import Qwen2LM
     encoder_fn.ctx = {
@@ -490,6 +530,27 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                              jnp.asarray(audio_map) if audio is not None
                              else None)
 
+    def encoder_batch_fn(inputs_list):
+        """One padded 512-token prefill for text request lists; omni
+        requests (image/video/audio) fall back to serial encodes."""
+        if any(i.get("images") or i.get("video") or i.get("audio")
+               or i.get("use_answer") for i in inputs_list):
+            return jnp.concatenate(
+                [encoder_fn(i) for i in inputs_list], axis=0)
+        texts = [tokenizer.apply_chat_template(
+            [{"role": "user",
+              "content": minicpm_omni_content(i.get("prompt"))}],
+            tokenize=False, add_generation_prompt=True)
+            for i in inputs_list]
+        enc = tokenizer(texts, padding="max_length", max_length=512,
+                        truncation=True)
+        return encoder.apply(
+            {"params": enc_params},
+            jnp.asarray(enc["input_ids"], jnp.int32),
+            jnp.asarray(enc["attention_mask"], bool),
+            None, None, None, None)
+
+    encoder_fn.batch = encoder_batch_fn
     return encoder_fn
 
 
@@ -548,4 +609,5 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
         vae=AutoencoderKL(vae_cfg), vae_params={"params": vae_params},
         scheduler=FlowMatchEulerScheduler(sched_cfg),
         gen_cfg=GenerationConfig(height=height, width=width,
-                                 num_inference_steps=num_steps, seed=seed))
+                                 num_inference_steps=num_steps, seed=seed),
+        encoder_batch_fn=getattr(encoder_fn, "batch", None))

@@ -66,6 +66,23 @@ class X2IPipeline:
     control_cfg: Any = None
     # optional serving mesh (set by with_mesh)
     mesh: Any = None
+    # optional batched encoder: fn(list_of_request_dicts) -> (N, C, S, H)
+    # stacked hidden states from ONE prefill program (text requests share
+    # the 512-token padded shape). None -> run_batch encodes serially.
+    encoder_batch_fn: Any = None
+
+    def encode_batch(self, requests: Sequence[Dict[str, Any]]
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched encode: one MLLM prefill program for the whole request
+        list when encoder_batch_fn is available (the serial fallback is
+        the reference behavior — each CLI invocation encodes alone).
+        -> (pooled (N, 768), prompt_embeds (N, S, 4096))."""
+        if self.encoder_batch_fn is not None:
+            states = self.encoder_batch_fn(list(requests))
+        else:
+            states = jnp.concatenate(
+                [self.encoder_fn(r) for r in requests], axis=0)
+        return self.proj.apply(self.proj_params, states)
 
     def with_mesh(self, mesh) -> "X2IPipeline":
         """Data-parallel multi-chip serving: params are replicated across
@@ -232,16 +249,10 @@ class X2IPipeline:
                              audio=audio, **kw)
 
     def run_batch(self, requests, **gen_kwargs) -> np.ndarray:
-        """Batched generation for the serving engine: encodes each request
-        (same padded shapes per encoder), stacks the conditioning, runs ONE
-        jitted denoise. requests: list of run_task-style dicts."""
-        pooled_list, embed_list = [], []
-        for req in requests:
-            pooled, embeds = self.encode(req)
-            pooled_list.append(pooled)
-            embed_list.append(embeds)
-        pooled = jnp.concatenate(pooled_list, axis=0)
-        embeds = jnp.concatenate(embed_list, axis=0)
+        """Batched generation for the serving engine: ONE batched encoder
+        prefill (see encode_batch) + ONE jitted denoise. requests: list of
+        run_task-style dicts."""
+        pooled, embeds = self.encode_batch(requests)
         return self.generate(pooled, embeds, **gen_kwargs)
 
     def serving_server(self, batch_size: int = 1, max_wait_s: float = 0.05,
@@ -303,6 +314,14 @@ def build_random_pipeline(scale: str = "tiny",
         states, _ = lm.apply(lm_params, ids)
         return states
 
+    def encoder_batch_fn(inputs_list):
+        if any(i.get("use_answer") for i in inputs_list):
+            return jnp.concatenate([encoder_fn(i) for i in inputs_list], 0)
+        ids = jnp.asarray(np.concatenate(
+            [tokenize(i.get("prompt") or "") for i in inputs_list]))
+        states, _ = lm.apply(lm_params, ids)    # ONE prefill program
+        return states
+
     proj = Proj(proj_cfg)
     proj_params = proj.init(
         key, jnp.zeros((1, proj_cfg.in_channels, seq, proj_cfg.input_dim)))
@@ -321,7 +340,8 @@ def build_random_pipeline(scale: str = "tiny",
         flux=flux, flux_params=flux_params, vae=vae, vae_params=vae_params,
         scheduler=FlowMatchEulerScheduler(SchedulerConfig(shift=1.0)),
         gen_cfg=gen_cfg or GenerationConfig(height=64, width=64,
-                                            num_inference_steps=4))
+                                            num_inference_steps=4),
+        encoder_batch_fn=encoder_batch_fn)
     # expose the tiny LM so multiturn.build_random_session can drive a
     # chat session over the same random weights (not a dataclass field:
     # checkpoint-backed pipelines don't have it)

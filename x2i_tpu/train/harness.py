@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x2i_tpu.core.config import (DistillConfig, ProjConfig, tiny_flux_config,
+from x2i_tpu.core.config import (DistillConfig, FluxConfig, ProjConfig,
+                                 Qwen2Config, tiny_flux_config,
                                  tiny_qwen2_config)
 from x2i_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
 from x2i_tpu.models.flux import FluxTransformer2D
@@ -180,4 +181,125 @@ def build_tiny_lightcontrol(batch_size: int = 8):
         SchedulerConfig(shift=3.0), optimizer)
     state = ControlTrainState(bank, optimizer.init(bank),
                               jnp.zeros((), jnp.int32))
+    return step_fn, state, flux_params, batch
+
+
+def _pattern_tree(shapes):
+    """Deterministic host-built stand-in weights from an eval_shape tree:
+    norm scales -> 1, biases -> 0, kernels/embeddings -> a cyclic
+    zero-mean pattern scaled by 1/sqrt(fan_in). Keeps every activation
+    finite without paying traced-init compiles at midsize dims."""
+    base = ((np.arange(997, dtype=np.float64) * 131) % 997 - 498.0) / 498.0
+
+    def make(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "scale" or (leaf.ndim == 1 and name not in
+                               ("bias", "embedding")):
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name == "bias" or leaf.ndim == 0:
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        fan = leaf.shape[-2] if leaf.ndim >= 2 else leaf.shape[-1]
+        arr = np.resize(base, leaf.shape) / np.sqrt(fan)
+        return jnp.asarray(arr, leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(make, shapes)
+
+
+def build_midsize_distill(batch_size: int = 8, grid: int = 64):
+    """Realistic-dims distillation step with reduced depth: every tensor
+    dimension the sharding math touches is the REAL operating point —
+    DiT hidden 3072 (24 heads x 128), joint text width 4096, pooled 768,
+    Qwen2.5-7B widths (3584 hidden / 18944 ffn / 28:4 GQA), T5-XXL width
+    4096, CLIP-L pooled 768, text 512 tokens, `grid`^2/4 packed image
+    tokens — only the layer counts (1 double + 2 single; 2 LM layers) and
+    vocab sizes are cut so the step executes on a virtual CPU mesh.
+    Catches dims/divisibility/sharding-spec bugs that AOT lowering of the
+    full-size program (tests/test_fullsize_sharding.py) cannot.
+
+    Returns (step_fn, state, flux_params, batch) like build_tiny_distill.
+    """
+    flux_cfg = FluxConfig(
+        num_layers=1, num_single_layers=2, guidance_embeds=True,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+        use_pallas_attention=False)
+    # teachers/encoder keep every width the sharding or proj touches
+    # (hidden sizes, head geometry); ffn widths and vocabs are slimmed —
+    # they live in REPLICATED closures, so they exercise no sharding math
+    lm_cfg = Qwen2Config(
+        vocab_size=4096, hidden_size=3584, intermediate_size=8192,
+        num_hidden_layers=2, num_attention_heads=28,
+        num_key_value_heads=4, head_dim=128, dtype=jnp.float32,
+        param_dtype=jnp.float32)
+    t5_cfg = T5Config(vocab_size=512, d_model=4096, d_kv=64, d_ff=2048,
+                      num_layers=1, num_heads=32, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+    clip_cfg = CLIPTextConfig(
+        vocab_size=512, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=1, num_attention_heads=12,
+        max_position_embeddings=77, eos_token_id=511, dtype=jnp.float32,
+        param_dtype=jnp.float32)
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size,
+                          output_dim0=flux_cfg.pooled_projection_dim,
+                          output_dim1=flux_cfg.joint_attention_dim,
+                          dtype=jnp.float32, param_dtype=jnp.float32)
+    dcfg = DistillConfig(latent_height=grid, latent_width=grid,
+                         text_seq_len=512, lr_warmup_steps=1,
+                         max_train_steps=100, learning_rate=1e-4)
+
+    flux = FluxTransformer2D(flux_cfg)
+    lm = Qwen2LM(lm_cfg)
+    t5 = T5Encoder(t5_cfg)
+    clip = CLIPTextEncoder(clip_cfg)
+    proj = Proj(proj_cfg)
+
+    B, S = batch_size, dcfg.text_seq_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "t5_ids": jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (B, S))),
+        "t5_mask": jnp.ones((B, S), bool),
+        "clip_ids": jnp.asarray(rng.integers(0, 511, (B, 77))),
+        "mllm_ids": jnp.asarray(
+            rng.integers(0, lm_cfg.vocab_size, (B, S))),
+        "mllm_mask": jnp.ones((B, S), bool),
+    }
+
+    # eval_shape inits + host-side pattern weights: running the traced
+    # init forwards at these dims costs minutes on a single-core virtual
+    # mesh and validates nothing — the step itself is the test
+    key = jax.random.key(0)
+    s_img = (grid // 2) ** 2
+    flux_params = _pattern_tree(jax.eval_shape(
+        lambda: flux.init(
+            key, jnp.zeros((1, s_img, flux_cfg.in_channels)),
+            jnp.zeros((1, S, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            jnp.zeros((1,)), jnp.zeros((s_img, 3)), jnp.zeros((S, 3)),
+            guidance=jnp.ones((1,)))))
+    t5_params = _pattern_tree(jax.eval_shape(
+        lambda: t5.init(key, batch["t5_ids"][:1])))
+    clip_params = _pattern_tree(jax.eval_shape(
+        lambda: clip.init(key, batch["clip_ids"][:1])))
+    lm_params = _pattern_tree(jax.eval_shape(
+        lambda: lm.init(key, batch["mllm_ids"][:1])))
+    proj_params = _pattern_tree(jax.eval_shape(
+        lambda: proj.init(key, jnp.zeros(
+            (1, proj_cfg.in_channels, S, proj_cfg.input_dim)))))
+
+    def teacher_text_fn(b):
+        # T5-XXL's d_model already equals the FLUX joint width: no widen
+        seq = t5.apply(t5_params, b["t5_ids"], b["t5_mask"])
+        _, pooled = clip.apply(clip_params, b["clip_ids"])
+        return seq, pooled
+
+    def student_states_fn(b):
+        states, _ = lm.apply(lm_params, b["mllm_ids"], b["mllm_mask"])
+        return states
+
+    optimizer = make_optimizer(dcfg)
+    state = TrainState(proj_params, optimizer.init(proj_params),
+                       jnp.zeros((), jnp.int32))
+    step_fn = make_distill_step(flux.apply, proj.apply, teacher_text_fn,
+                                student_states_fn, optimizer, flux_cfg,
+                                dcfg)
     return step_fn, state, flux_params, batch
