@@ -359,14 +359,17 @@ def test_flash_kernel_rope_matches_preapplied(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
-def test_flash_kernel_rope_grads_match(rng):
+@pytest.mark.parametrize("gqa", [False, True])
+def test_flash_kernel_rope_grads_match(rng, gqa):
     """Backward through the rope-fused kernel: cotangents are counter-
-    rotated through the orthogonal transpose map."""
+    rotated through the orthogonal transpose map. The GQA case exercises
+    the dkv kernel's per-group rotated-Q scratch."""
     from jax.experimental.pallas import tpu as pltpu
     B, H, S, D = 1, 2, 128, 128
+    HK = 1 if gqa else H
     q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HK, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, HK, S, D)), jnp.float32)
     cos, sin = _rope_tables(rng, S, D)
 
     def loss_fused(q, k, v):

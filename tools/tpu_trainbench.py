@@ -45,13 +45,19 @@ def main():
           f" 8bit_adam={use_8bit} remat={remat}", flush=True)
 
     chunks = int(os.environ.get("X2I_TRAINBENCH_CHUNKS", "2"))
+    # rope placement for training: the fused backward can counter-rotate
+    # in-kernel (X2I_TRAINBENCH_ROPE_KERNEL=1), but at this operating
+    # point it measures a net LOSS — 2.498 vs 2.420 s/step (2026-08-19,
+    # same session): the rope path must halve block_q/block_k to fit
+    # scoped VMEM, and under remat="stack" the XLA rotate transients are
+    # per-chunk (~10 MB temp delta), so there is little to reclaim. The
+    # XLA rotation stays the training default.
+    rope_in_kernel = os.environ.get("X2I_TRAINBENCH_ROPE_KERNEL",
+                                    "0") == "1"
     flux_cfg = FluxConfig(quantized=quant, guidance_embeds=False,
                           remat=remat if remat == "stack" else bool(remat),
                           single_scan_chunks=chunks,
-                          # fused-kernel rope's backward transients tip the
-                          # 12B step over HBM (train/assemble.py does the
-                          # same); the half-layout XLA rotation remains
-                          rope_in_kernel=False)
+                          rope_in_kernel=rope_in_kernel)
     flux = FluxTransformer2D(flux_cfg)
     s_txt = 512
     s_img = (grid // 2) ** 2

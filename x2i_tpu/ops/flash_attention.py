@@ -191,6 +191,13 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
     block_q = min(block_q, sq)
+    if rope is not None and return_lse and sq >= 4096:
+        # residual (training) forward with in-kernel rope: the f32 tables
+        # + rotated-K scratch + the lse output tile push the BQ=256 score
+        # intermediates 516 KB past the 16 MB scoped-vmem limit at 4608
+        # tokens (measured); halve the q block on this path only — the
+        # inference forward (no lse) keeps BQ=256
+        block_q = min(block_q, 128)
     grid = (batch, hq, pl.cdiv(sq, block_q))
 
     in_specs = [
@@ -430,19 +437,82 @@ def _flash_forward_chunked(q, k, v, kv_mask, *, causal: bool, scale: float,
     return out
 
 
+def _rotate_rows_to_scratch(dst_ref, cos_ref, sin_ref, d2: int,
+                            rows_total: int, read, dst_row0: int = 0):
+    """Rotate `rows_total` rows of a (S, D) source (accessed through
+    `read(rows)`) into a VMEM scratch in chunks (a whole-S f32 expression
+    chain costs ~4x S*D*4B of Mosaic stack — chunking keeps the
+    scoped-vmem footprint flat; same pattern as the forward kernel's K
+    rotation). `dst_row0` offsets the write window: scratches holding
+    several (group) segments stay rank-2 — Mosaic rejects lane slices of
+    rank-3 scratch views at D=64 (tile (1,128))."""
+    kc = rows_total
+    for cand in (512, 256, 128):
+        if rows_total % cand == 0:
+            kc = cand
+            break
+
+    def body(j, carry):
+        rows = pl.ds(j * kc, kc)
+        xf = read(rows).astype(jnp.float32)
+        dst_ref[pl.ds(dst_row0 + j * kc, kc), :] = (
+            xf * cos_ref[rows, :] +
+            pltpu.roll(xf, d2, 1) * sin_ref[rows, :]).astype(dst_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, rows_total // kc, body, 0, unroll=False)
+
+
+def _counter_rotate(g, cos_tile, sin_tile, d2: int):
+    """Transpose of the in-kernel rotation (the map is orthogonal):
+    rope(x) = x*cos + roll(x)*sin'  =>  ropeᵀ(g) = g*cos + roll(g*sin')."""
+    gf = g.astype(jnp.float32)
+    return gf * cos_tile + pltpu.roll(gf * sin_tile, d2, 1)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   mask_ref, dq_ref, *, scale: float, causal: bool,
-                   block_q: int):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+                   mask_ref, cos_ref, sin_ref, dq_ref, krot_ref, *,
+                   scale: float, causal: bool, block_q: int):
+    i = pl.program_id(2)
     v = v_ref[0, 0]
+    if cos_ref is not None:
+        # In-kernel rope (training path): K is rotated once per (b, h)
+        # into scratch — the grid's block axis is sequential, so the
+        # scratch persists across q blocks; the q tile is rotated per
+        # program and dq (the cotangent of ROTATED q) is counter-rotated
+        # through the transpose map before writeback. The pre-rope
+        # projections stay the only HBM form of q/k/dq, deleting the
+        # XLA-side rotate transients (~60 MB f32 at the 12B training
+        # point) that kept rope outside the kernel for training.
+        d2 = q_ref.shape[-1] // 2
+        skv = k_ref.shape[2]
+
+        @pl.when(i == 0)
+        def _():
+            _rotate_rows_to_scratch(krot_ref, cos_ref, sin_ref, d2, skv,
+                                    lambda rows: k_ref[0, 0, rows, :])
+
+        k = krot_ref[...]
+        cq = cos_ref[pl.ds(i * block_q, block_q), :]
+        sq_t = sin_ref[pl.ds(i * block_q, block_q), :]
+        qf = q_ref[0, 0].astype(jnp.float32)
+        # mirror the forward's recipe exactly (rotate in f32, fold the
+        # exp2 scale, cast to storage dtype) so p = exp2(s - lse) reuses
+        # the forward lse without bias
+        q = ((qf * cq + pltpu.roll(qf, d2, 1) * sq_t) * (scale * LOG2_E)
+             ).astype(q_ref.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    else:
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = _logits(q, k, scale * LOG2_E)
     do = do_ref[0, 0].astype(jnp.float32)               # (BQ, D)
     lse = lse_ref[0, 0]                                 # (BQ, 1), base-2
     delta = delta_ref[0, 0]                             # (BQ, 1)
 
-    s = _logits(q, k, scale * LOG2_E)
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
-                     pl.program_id(2) * block_q, 0)
+                     i * block_q, 0)
     p = jnp.exp2(s - lse)                               # (BQ, Skv)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
@@ -450,42 +520,83 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ds = p * (dp - delta) * scale
     dq = jnp.dot(ds.astype(k.dtype), k,
                  preferred_element_type=jnp.float32)
+    if cos_ref is not None:
+        dq = _counter_rotate(dq, cq, sq_t, d2)
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-                    mask_ref, dk_ref, dv_ref, *, scale: float,
-                    causal: bool, block_k: int, group: int):
-    k = k_ref[0, 0]                                     # (BK, D)
+                    mask_ref, cos_ref, sin_ref, dk_ref, dv_ref, qrot_ref,
+                    *, scale: float, causal: bool, block_k: int,
+                    group: int):
+    j = pl.program_id(2)
+    col0 = j * block_k
     v = v_ref[0, 0]
-    col0 = pl.program_id(2) * block_k
+    if cos_ref is not None:
+        # mirror of the dq kernel: full Q rotated once per (b, kv-head)
+        # into scratch; the k tile rotated per program; dk (cotangent of
+        # ROTATED k) counter-rotated before writeback
+        d2 = k_ref.shape[-1] // 2
+        sq_len = q_ref.shape[3]
+
+        @pl.when(j == 0)
+        def _():
+            for g in range(group):                      # static unroll
+                _rotate_rows_to_scratch(
+                    qrot_ref, cos_ref, sin_ref, d2, sq_len,
+                    lambda rows, g=g: q_ref[0, 0, g, rows, :],
+                    dst_row0=g * sq_len)
+
+        cj = cos_ref[pl.ds(col0, block_k), :]
+        sj = sin_ref[pl.ds(col0, block_k), :]
+        kf = k_ref[0, 0].astype(jnp.float32)
+        k = ((kf * cj + pltpu.roll(kf, d2, 1) * sj)
+             ).astype(k_ref.dtype)                      # (BK, D) rotated
+    else:
+        k = k_ref[0, 0]                                 # (BK, D)
     dk = jnp.zeros(k.shape, jnp.float32)
     dv = jnp.zeros(v.shape, jnp.float32)
     for g in range(group):                              # static unroll
-        q = q_ref[0, 0, g]                              # (Sq, D)
-        do = do_ref[0, 0, g].astype(jnp.float32)        # (Sq, D)
-        lse = lse_ref[0, 0, g]                          # (Sq, 1), base-2
-        delta = delta_ref[0, 0, g]                      # (Sq, 1)
-        s = _logits(q, k, scale * LOG2_E)               # (Sq, BK)
-        s = _apply_masks(s, None if mask_ref is None else mask_ref[0],
-                         causal, 0, col0)
-        p = jnp.exp2(s - lse)                           # (Sq, BK)
+        # (BK, Sq) score orientation: kv rows, q lanes. Every contraction
+        # is then direct (no transposes), lse/delta ride in as (1, Sq)
+        # instead of lane-padded (Sq, 1) — at 4608 tokens that plus the
+        # (Sq, BK)->(BK, Sq) intermediate flip is ~11 MB of scoped VMEM,
+        # the difference between fitting and not once the rope tables
+        # join the kernel. do stays in storage dtype (the old f32 upcast
+        # also silently forced f32 MXU rate on the dv/dp matmuls).
+        q = (qrot_ref[pl.ds(g * q_ref.shape[3], q_ref.shape[3]), :]
+             if cos_ref is not None
+             else q_ref[0, 0, g])                       # (Sq, D)
+        do = do_ref[0, 0, g]                            # (Sq, D)
+        lse = lse_ref[0, 0, g]                          # (1, Sq), base-2
+        delta = delta_ref[0, 0, g]                      # (1, Sq)
+        s = _logits(k, q, scale * LOG2_E)               # (BK, Sq)
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], s, NEG_INF)      # (BK, 1) kv mask
+        if causal:
+            krow = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            qcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(krow <= qcol, s, NEG_INF)
+        p = jnp.exp2(s - lse)                           # (BK, Sq)
         dv = dv + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (BK, D)
         dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (Sq, BK)
-        ds = p * (dp - delta) * scale                   # (Sq, BK)
+            v, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (BK, Sq)
+        ds = p * (dp - delta) * scale                   # (BK, Sq)
         dk = dk + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (BK, D)
+    if cos_ref is not None:
+        dk = _counter_rotate(dk, cj, sj, d2)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
-                    scale: float, block_q: int = 256, block_k: int = 256):
+                    scale: float, block_q: int = 256, block_k: int = 256,
+                    rope=None):
     batch, hq, sq, d = q.shape
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
@@ -496,6 +607,18 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     if group * sq >= 4096:
         block_k = min(block_k, 128)
     block_k = min(block_k, skv)
+    has_rope = rope is not None
+    if has_rope and sq >= 4096:
+        # the rope path adds 2 f32 (S, D) tables + a rotated-K scratch to
+        # the dq kernel's residency; halve the q block so the 4 f32
+        # (BQ, Skv) score intermediates shrink to fit scoped VMEM
+        block_q = min(block_q, 128)
+    if has_rope and group * sq >= 4096:
+        # same budget math for the dkv kernel: tables (4.7 MB at 4608
+        # tokens) + rotated-Q scratch + the f32 (BK, group*Sq) score
+        # intermediates; BK=64 keeps the whole kernel ~13 MB at the 12B
+        # training point (BK=128 measured 17.7 MB > the 16 MB limit)
+        block_k = min(block_k, 64)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)                            # (B, Hq, Sq)
@@ -521,14 +644,32 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
         in_specs.append(pl.BlockSpec((1, 1, skv), lambda b, h, i: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(kv_mask[:, None, :])
+    if has_rope:
+        # pad tables to a block multiple so the per-tile dynamic slices
+        # never clamp at a partial final block (same guard as the forward)
+        s_pad_q = pl.cdiv(sq, block_q) * block_q
+        for tab in rope:
+            args.append(jnp.pad(tab, ((0, s_pad_q - skv), (0, 0))))
+            in_specs.append(pl.BlockSpec((s_pad_q, d),
+                                         lambda b, h, i: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     def dq_kernel(*refs):
+        refs = list(refs)
+        qr, kr, vr, dor, lr, der = refs[:6]
+        n = 6
+        mr = None
         if has_mask:
-            qr, kr, vr, dor, lr, der, mr, dqr = refs
-        else:
-            (qr, kr, vr, dor, lr, der, dqr), mr = refs, None
-        _bwd_dq_kernel(qr, kr, vr, dor, lr, der, mr, dqr, scale=scale,
-                       causal=causal, block_q=block_q)
+            mr = refs[n]
+            n += 1
+        cr = sr = None
+        if has_rope:
+            cr, sr = refs[n:n + 2]
+            n += 2
+        dqr = refs[n]
+        krot = refs[-1] if has_rope else None
+        _bwd_dq_kernel(qr, kr, vr, dor, lr, der, mr, cr, sr, dqr, krot,
+                       scale=scale, causal=causal, block_q=block_q)
 
     dq = pl.pallas_call(
         dq_kernel,
@@ -538,21 +679,23 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
                                lambda b, h, i: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, hq, sq, d), q.dtype),
+        scratch_shapes=([pltpu.VMEM((skv, d), k.dtype)] if has_rope
+                        else []),
     )(*args)
 
     # ---- dk / dv ---- (grid over kv blocks; group summed in-kernel)
     qg = q.reshape(batch, hk, group, sq, d)
     dog = do.reshape(batch, hk, group, sq, d)
-    lseg = lse.reshape(batch, hk, group, sq, 1)
-    deltag = delta.reshape(batch, hk, group, sq, 1)
+    lseg = lse.reshape(batch, hk, group, 1, sq)
+    deltag = delta.reshape(batch, hk, group, 1, sq)
     in_specs = [
         pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, group, sq, d), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, group, sq, 1), lambda b, h, j: (b, h, 0, 0, 0),
+        pl.BlockSpec((1, 1, group, 1, sq), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, group, sq, 1), lambda b, h, j: (b, h, 0, 0, 0),
+        pl.BlockSpec((1, 1, group, 1, sq), lambda b, h, j: (b, h, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, j: (b, h, j, 0),
                      memory_space=pltpu.VMEM),
@@ -561,19 +704,37 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     ]
     args2 = [qg, dog, lseg, deltag, k, v]
     if has_mask:
-        in_specs.append(pl.BlockSpec((1, 1, block_k),
-                                     lambda b, h, j: (b, 0, j),
+        # kv mask enters kv-major, (BK, 1): it masks score ROWS in the
+        # (BK, Sq) orientation
+        in_specs.append(pl.BlockSpec((1, block_k, 1),
+                                     lambda b, h, j: (b, j, 0),
                                      memory_space=pltpu.VMEM))
-        args2.append(kv_mask[:, None, :])
+        args2.append(kv_mask[:, :, None])
+    if has_rope:
+        s_pad_k = pl.cdiv(skv, block_k) * block_k
+        for tab in rope:
+            args2.append(jnp.pad(tab, ((0, s_pad_k - skv), (0, 0))))
+            in_specs.append(pl.BlockSpec((s_pad_k, d),
+                                         lambda b, h, j: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     def dkv_kernel(*refs):
+        refs = list(refs)
+        qr, dor, lr, der, kr, vr = refs[:6]
+        n = 6
+        mr = None
         if has_mask:
-            qr, dor, lr, der, kr, vr, mr, dkr, dvr = refs
-        else:
-            (qr, dor, lr, der, kr, vr, dkr, dvr), mr = refs, None
-        _bwd_dkv_kernel(qr, dor, lr, der, kr, vr, mr, dkr, dvr,
-                        scale=scale, causal=causal, block_k=block_k,
-                        group=group)
+            mr = refs[n]
+            n += 1
+        cr = sr = None
+        if has_rope:
+            cr, sr = refs[n:n + 2]
+            n += 2
+        dkr, dvr = refs[n:n + 2]
+        qrot = refs[-1] if has_rope else None
+        _bwd_dkv_kernel(qr, dor, lr, der, kr, vr, mr, cr, sr, dkr, dvr,
+                        qrot, scale=scale, causal=causal,
+                        block_k=block_k, group=group)
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -586,6 +747,8 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
                          memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((batch, hk, skv, d), k.dtype),
                    jax.ShapeDtypeStruct((batch, hk, skv, d), v.dtype)),
+        scratch_shapes=([pltpu.VMEM((group * sq, d), q.dtype)]
+                        if has_rope else []),
     )(*args2)
 
     return dq, dk, dv
@@ -661,9 +824,18 @@ def _flash_fwd(q, k, v, kv_mask, rope, causal, scale):
 def _flash_bwd(causal, scale, res, do):
     q, k, v, kv_mask, rope, o, lse = res
     if rope is not None:
-        # The rotation is orthogonal and position-wise: rope q/k once in
-        # XLA, push cotangents through the transpose map. cos/sin receive
-        # zero cotangents (positions are never differentiated).
+        rope_max_kv = int(os.environ.get("X2I_FA_ROPE_MAX_KV", "6144"))
+        if k.shape[2] <= min(MAX_KV_SEQ, rope_max_kv):
+            # in-kernel rope backward: the pre-rope projections stay the
+            # only HBM form of q/k/dq/dk — no XLA rotate transients
+            dq, dk, dv = _flash_backward(q, k, v, kv_mask, o, lse, do,
+                                         causal=causal, scale=scale,
+                                         rope=rope)
+            return dq, dk, dv, None, jax.tree.map(jnp.zeros_like, rope)
+        # long-joint fallback: the rotation is orthogonal and
+        # position-wise — rope q/k once in XLA, push cotangents through
+        # the transpose map. cos/sin receive zero cotangents (positions
+        # are never differentiated).
         cos, sin_s = rope
         qr, kr = _rope_bhsd(q, cos, sin_s), _rope_bhsd(k, cos, sin_s)
         dq, dk, dv, _, _ = _flash_bwd(causal, scale,
