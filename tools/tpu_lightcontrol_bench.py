@@ -19,7 +19,8 @@ offload (lightcontrol/accelerate_config_debug.yaml) — no public step time
 exists; the number recorded here is the single-chip capability datapoint.
 
 Measured 2026-08-18 (v5e, w8a8 frozen DiT, fp8-moment Adam, batch 1):
-  1024^2 (the reference operating point): 2869 ms/step (0.349 steps/s),
+  1024^2 (the reference operating point): 2732 ms/step (0.366 steps/s;
+      2026-08-19, with the (BK, Sq)-reoriented dkv backward — was 2869),
       temp 4.38 GiB + args 11.58 GiB (state donated), split-VAE mode.
   512^2: 683 ms/step (1.47 steps/s), one fused program.
 Loss decreases from step 0 in both configs. What it took to fit 1024^2:

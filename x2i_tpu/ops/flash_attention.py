@@ -507,7 +507,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = _logits(q, k, scale * LOG2_E)
-    do = do_ref[0, 0].astype(jnp.float32)               # (BQ, D)
+    do = do_ref[0, 0]                                   # (BQ, D)
     lse = lse_ref[0, 0]                                 # (BQ, 1), base-2
     delta = delta_ref[0, 0]                             # (BQ, 1)
 
