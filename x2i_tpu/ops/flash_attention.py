@@ -601,7 +601,7 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     hk, skv = k.shape[1], k.shape[2]
     group = hq // hk
     block_q = min(block_q, sq)
-    # dkv VMEM budget: the kernel holds 4 f32 (group*Sq, BK) score-sized
+    # dkv VMEM budget: the kernel holds 4 f32 (BK, group*Sq) score-sized
     # intermediates plus double-buffered full-Sq q/do rows; at Sq >= 4k a
     # 256-wide kv block overflows the ~16 MB scoped VMEM.
     if group * sq >= 4096:
