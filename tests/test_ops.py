@@ -388,6 +388,40 @@ def test_flash_kernel_rope_grads_match(rng, gqa):
                                    atol=5e-3, rtol=1e-4)
 
 
+def test_flash_kernel_rope_grads_masked_causal(rng):
+    """Rope-fused backward with a kv mask AND causal: the dkv kernel's
+    (BK, Sq) orientation masks score ROWS with the (BK, 1) kv mask and
+    builds the causal predicate kv-major (hardware-validated 2026-08-19;
+    this pins the interpret-mode equivalence)."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, H, S, D = 2, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+    m = np.ones((B, S), bool)
+    m[:, S - 37:] = False
+    kv_mask = jnp.asarray(m)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, kv_mask=kv_mask,
+                                          causal=True,
+                                          rope=(cos, sin)) ** 2)
+
+    def loss_pre(q, k, v):
+        return jnp.sum(fa.flash_attention(_preapply_bhsd(q, cos, sin),
+                                          _preapply_bhsd(k, cos, sin), v,
+                                          kv_mask=kv_mask,
+                                          causal=True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss_pre, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-4)
+
+
 def test_dispatcher_rope_pad_path(rng):
     """attention(rope=...) through the pad-and-mask dispatcher (odd S)
     == XLA path with rope pre-applied."""
