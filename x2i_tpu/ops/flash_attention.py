@@ -605,7 +605,8 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, causal: bool,
     # intermediates plus double-buffered full-Sq q/do rows; at Sq >= 4k a
     # 256-wide kv block overflows the ~16 MB scoped VMEM.
     if group * sq >= 4096:
-        block_k = min(block_k, 128)
+        block_k = min(block_k,
+                      int(os.environ.get("X2I_FA_BWD_BLOCK_K", "128")))
     block_k = min(block_k, skv)
     has_rope = rope is not None
     if has_rope and sq >= 4096:
