@@ -167,6 +167,29 @@ def load_minicpmo() -> types.ModuleType:
     return mod
 
 
+def load_minicpmo_processor() -> types.ModuleType:
+    """processing_minicpmo.py (placeholder math + audio chunking). Needs
+    a torchaudio stub (import-only; the paths under test never call it)
+    and the package-relative image_processing_minicpmv."""
+    if "refpkg.processing_minicpmo" in sys.modules:
+        return sys.modules["refpkg.processing_minicpmo"]
+    _stub("torchaudio")
+    pkg = types.ModuleType("refpkg")
+    pkg.__path__ = [REF]
+    pkg.__spec__ = importlib.machinery.ModuleSpec(
+        "refpkg", None, is_package=True)
+    pkg.__spec__.submodule_search_locations = [REF]
+    sys.modules.setdefault("refpkg", pkg)
+    if "refpkg.image_processing_minicpmv" not in sys.modules:
+        sys.modules["refpkg.image_processing_minicpmv"] = \
+            load_reference_module("image_processing_minicpmv.py",
+                                  "refpkg.image_processing_minicpmv",
+                                  extra_globals={"__package__": "refpkg"})
+    return load_reference_module("processing_minicpmo.py",
+                                 "refpkg.processing_minicpmo",
+                                 extra_globals={"__package__": "refpkg"})
+
+
 def install_datamodule_stubs() -> None:
     """webdataset / torchvision / pytorch_lightning / braceexpand /
     core.data.dataloader are absent; the datamodule parity goldens only

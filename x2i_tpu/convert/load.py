@@ -459,10 +459,11 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     (inference_minicpm.py:137-178)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
-    from x2i_tpu.data.minicpm_vision import (bounds_to_map,
-                                             log_mel_spectrogram,
-                                             audio_placeholder_len,
+    from x2i_tpu.data.minicpm_vision import (audio_placeholder_spans,
+                                             bounds_to_map,
+                                             chunk_audio_mels,
                                              prepare_minicpm_vision)
+    from x2i_tpu.models.whisper_enc import chunk_bias
     from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
     from x2i_tpu.models.templates import minicpm_omni_content
 
@@ -487,8 +488,10 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             num_audios=1 if audio is not None else 0)
         vision = prepare_minicpm_vision(images, cfg.llm.hidden_size,
                                         max_slice_nums=1)
-        n_aud = audio_placeholder_len(len(audio)) if audio is not None \
-            else 0
+        # chunk_input=True placeholder spans (inference_minicpm.py:166):
+        # one <audio>...</audio> pair per 1s chunk of LLM tokens
+        aud_spans = (audio_placeholder_spans(len(audio))
+                     if audio is not None else [])
         # expand placeholders with <unk> runs and record bounds
         text = tokenizer.apply_chat_template(
             [{"role": "user", "content": content}], tokenize=False,
@@ -498,7 +501,8 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             "<image>" + "<unk>" * cfg.query_num + "</image>")
         text = text.replace(
             "(<audio>./</audio>)",
-            "<audio>" + "<unk>" * n_aud + "</audio>")
+            "".join("<audio>" + "<unk>" * n + "</audio>"
+                    for n in aud_spans))
         enc = tokenizer(text, padding="max_length", max_length=512,
                         truncation=True)
         ids = np.asarray([enc["input_ids"]], np.int32)
@@ -515,14 +519,41 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                 in_run = False
         n_img_spans = vision["num_slices"] if vision else 0
         img_map = bounds_to_map([spans[:n_img_spans]], ids.shape[1])
-        audio_map = bounds_to_map([spans[n_img_spans:]], ids.shape[1])
         vdict = adict = None
+        audio_map = None
         if vision:
             vdict = {k: jnp.asarray(vision[k]) for k in
                      ("patches", "position_ids", "patch_mask", "pos_embed")}
         if audio is not None:
-            mel = log_mel_spectrogram(np.asarray(audio))[None]
-            adict = {"mel": jnp.asarray(mel[:, :, :4 * n_aud])}
+            # >30s audio becomes several 30s mel chunks, each a batch row
+            # through the whisper encoder (processing_minicpmo.py:183-191);
+            # embeddings of all chunks concatenate, skipping per-chunk
+            # pad rows, and fill the placeholder spans in order
+            # (get_omni_embedding chunk_input branch, :585-599)
+            mels, lens = chunk_audio_mels(np.asarray(audio))
+            conv_lens = (lens - 1) // 2 + 1
+            t_conv = (mels.shape[2] - 1) // 2 + 1
+            # bug-compatible parity: the reference's whisper padding mask
+            # compares CONV-frame indices against MEL-frame lengths
+            # (modeling_minicpmo.py:497-505 seq_range >= audio_feature_lens
+            # where seq_range spans (max_mel-1)//2+1 conv frames), so pad
+            # conv frames below the mel length stay attendable; the model
+            # was trained with this, so we replicate it exactly
+            # (pinned in tests/test_minicpm_audio_chunks.py)
+            frame_mask = np.arange(t_conv)[None] < lens[:, None]
+            pooled_pad = t_conv // 2
+            rows = np.concatenate([
+                k * pooled_pad + np.arange((c - 2) // 2 + 1)
+                for k, c in enumerate(conv_lens)])
+            # generate runs whisper with 1s-chunked attention
+            # (modeling_minicpmo.py:808-811, audio_chunk_length=1.0)
+            bias = chunk_bias(t_conv, chunk_frames=50)
+            adict = {"mel": jnp.asarray(mels),
+                     "frame_mask": jnp.asarray(frame_mask),
+                     "attn_bias": jnp.asarray(bias)}
+            aud_span_total = sum(e - s for s, e in spans[n_img_spans:])
+            audio_map = bounds_to_map([spans[n_img_spans:]], ids.shape[1],
+                                      rows=rows[:aud_span_total])
         return encoder.apply({"params": enc_params}, jnp.asarray(ids),
                              jnp.asarray(mask),
                              vdict, adict,

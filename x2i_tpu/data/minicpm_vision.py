@@ -160,18 +160,29 @@ def prepare_minicpm_vision(images: Sequence, llm_hidden: int,
 
 
 def bounds_to_map(bounds: Sequence[Sequence[Tuple[int, int]]],
-                  seq_len: int) -> np.ndarray:
+                  seq_len: int,
+                  rows: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-sample [(start, end), ...] spans -> (B, S) int32 map with the
     flat feature row per position, -1 elsewhere (get_vllm_embedding's
-    scatter, modeling_minicpmo.py:380-406)."""
+    scatter, modeling_minicpmo.py:380-406).
+
+    rows: optional explicit flat feature-row indices consumed in span
+    order — used when the flat feature tensor has padded rows that must
+    be skipped (multi-chunk audio: each mel chunk's pooled tail is pad,
+    get_omni_embedding concatenates only the valid rows, :585-599)."""
     b = len(bounds)
     out = np.full((b, seq_len), -1, np.int32)
     row = 0
     for i, spans in enumerate(bounds):
         for (st, ed) in spans:
             n = ed - st
-            out[i, st:ed] = np.arange(row, row + n)
+            if rows is not None:
+                out[i, st:ed] = np.asarray(rows[row:row + n], np.int32)
+            else:
+                out[i, st:ed] = np.arange(row, row + n)
             row += n
+    if rows is not None and row != len(rows):
+        raise ValueError(f"span total {row} != feature rows {len(rows)}")
     return out
 
 
@@ -237,8 +248,56 @@ def log_mel_spectrogram(audio: np.ndarray, sr: int = 16000,
 
 def audio_placeholder_len(samples: int, sr: int = 16000, hop: int = 160,
                           pool_step: int = 2) -> int:
-    """Number of LLM tokens an audio clip occupies: conv stride 2 then
-    avg-pool (processing_minicpmo.py:105-128 mirrors this formula)."""
-    frames = samples // hop
-    after_conv = frames // 2
-    return after_conv // pool_step
+    """Number of LLM tokens an audio clip occupies: STFT frame count,
+    conv stride 2, then avg-pool — the exact reference formula
+    (processing_minicpmo.py:105-110: feature_lens = ceil(len/hop);
+    (feature_lens-1)//2+1; (x-pool)//pool+1)."""
+    feature_lens = math.ceil(samples / hop)
+    after_conv = (feature_lens - 1) // 2 + 1
+    return (after_conv - pool_step) // pool_step + 1
+
+
+def audio_placeholder_spans(samples: int, chunk_length: float = 1.0,
+                            sr: int = 16000, hop: int = 160,
+                            pool_step: int = 2) -> List[int]:
+    """chunk_input=True placeholder spans: the total token budget split
+    into per-`chunk_length`-second runs, each wrapped in its own
+    <audio>...</audio> pair (processing_minicpmo.py:111-122; X2I passes
+    chunk_input=True, inference_minicpm.py:166)."""
+    output_lens = audio_placeholder_len(samples, sr, hop, pool_step)
+    fbank_per_chunk = int(chunk_length * 100)
+    cnn_per_chunk = (fbank_per_chunk - 1) // 2 + 1
+    per_chunk = (cnn_per_chunk - pool_step) // pool_step + 1
+    spans = []
+    total = 0
+    while total < output_lens:
+        n = min(per_chunk, output_lens - total)
+        spans.append(n)
+        total += n
+    return spans
+
+
+def chunk_audio_mels(audio: np.ndarray, sr: int = 16000,
+                     n_fft: int = 400, hop: int = 160, n_mels: int = 80,
+                     chunk_seconds: float = 30.0
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Long-audio feature extraction: split >30s audio into consecutive
+    30s chunks (processing_minicpmo.py:183-191), compute each chunk's mel
+    over the full zero-padded 30s window (the log normalization sees the
+    padded spectrogram, as HF WhisperFeatureExtractor does), truncate to
+    the valid frame count ceil(len/hop) (:199-206 feat[:, :lens]), and
+    zero-pad to the longest chunk (pad_sequence, :215-218).
+
+    -> (mels (A, n_mels, T_max) f32, lens (A,) int32 valid frames/chunk).
+    """
+    audio = np.asarray(audio, np.float32)
+    max_len = int(sr * chunk_seconds)
+    n_chunks = max(1, math.ceil(len(audio) / max_len))
+    chunks = [audio[i * max_len:(i + 1) * max_len] for i in range(n_chunks)]
+    lens = np.array([math.ceil(len(c) / hop) for c in chunks], np.int32)
+    t_max = int(lens.max())
+    mels = np.zeros((n_chunks, n_mels, t_max), np.float32)
+    for i, (c, ln) in enumerate(zip(chunks, lens)):
+        full = log_mel_spectrogram(c, sr, n_fft, hop, n_mels, chunk_seconds)
+        mels[i, :, :ln] = full[:, :ln]
+    return mels, lens

@@ -82,9 +82,15 @@ class MiniCPMOEncoder(nn.Module):
         return tokens.reshape(-1, tokens.shape[-1])
 
     def encode_audio(self, audio: Dict) -> jnp.ndarray:
-        """audio dict: mel (A, mels, T), frame_mask (A, T//2) -> flat
-        (A * T//4, llm_hidden) pooled+projected features."""
-        hs = self.apm(audio["mel"], audio.get("frame_mask"))
+        """audio dict: mel (A, mels, T) — one row per 30s chunk —
+        frame_mask (A, conv frames) valid-key mask, attn_bias optional
+        chunked-attention bias (whisper_enc.chunk_bias; the reference
+        runs generate with chunk_length=audio_chunk_length=1.0,
+        modeling_minicpmo.py:808-811) -> flat (A * T//4, llm_hidden)
+        pooled+projected features; padded chunks' tail rows are garbage
+        the audio_map must skip (bounds_to_map rows=...)."""
+        hs = self.apm(audio["mel"], audio.get("frame_mask"),
+                      audio.get("attn_bias"))
         proj = self.audio_projector(hs)
         return proj.reshape(-1, proj.shape[-1])
 
