@@ -532,3 +532,28 @@ def test_attention_qk_norm_xla_fallback(rng):
                      implementation="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_pipelined_softmax_matches_monolithic(rng, monkeypatch):
+    """The software-pipelined softmax (KV-chunked scores, no row-max
+    subtraction — exact by the clamp argument in _flash_kernel) must
+    match the monolithic exact body bit-for-bit within f32 tolerance,
+    with and without in-kernel rope + qk-norm."""
+    from jax.experimental.pallas import tpu as pltpu
+    B, H, S, D = 1, 2, 256, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cos, sin = _rope_tables(rng, S, D)
+    qw = jnp.asarray(rng.uniform(0.5, 1.5, (D,)), jnp.float32)
+    kw = jnp.asarray(rng.uniform(0.5, 1.5, (D,)), jnp.float32)
+    for kwargs in ({}, {"rope": (cos, sin)},
+                   {"rope": (cos, sin), "qk_norm": (qw, kw, 1e-6)}):
+        with pltpu.force_tpu_interpret_mode():
+            monkeypatch.setenv("X2I_FA_PIPELINE", "0")
+            want = fa.flash_attention(q, k, v, **kwargs)
+            monkeypatch.setenv("X2I_FA_PIPELINE", "1")
+            monkeypatch.setenv("X2I_FA_PIPELINE_KC", "128")
+            got = fa.flash_attention(q, k, v, **kwargs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)

@@ -175,3 +175,97 @@ def test_run_batch_batched_encoder_images():
     pooled_a, embeds_a = pipe.encode_batch(answered)
     assert pooled_a.shape[0] == 2
     assert embeds_a.shape[1] > embeds_b.shape[1]   # prefill + answer
+
+
+def test_encode_batch_images_matches_serial():
+    """Batched multimodal encode: all requests' images concatenated into
+    ONE vision-tower call + one (N, S) prefill must equal per-request
+    serial encodes. This pins the scatter alignment the batched path in
+    convert/load.py::encoder_batch_fn relies on — embed_multimodal's
+    flat cumsum routes features to rows strictly by request order, and a
+    text-only row in the middle must not shift the mapping."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from x2i_tpu.core.config import Qwen2Config
+    from x2i_tpu.data.qwen_vision import (get_rope_index,
+                                          prepare_vision_inputs)
+    from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
+                                           Qwen2_5_VLEncoder,
+                                           QwenVisionConfig)
+
+    vis_cfg = QwenVisionConfig(
+        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+        patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+        window_size=16, out_hidden_size=48, fullatt_block_indexes=(1,),
+        dtype=jnp.float32, param_dtype=jnp.float32)
+    llm_cfg = Qwen2Config(vocab_size=64, hidden_size=48,
+                          intermediate_size=96, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          head_dim=12, rope_theta=1e6, dtype=jnp.float32,
+                          param_dtype=jnp.float32,
+                          use_pallas_attention=False)
+    cfg = Qwen2_5_VLConfig(vision=vis_cfg, llm=llm_cfg,
+                           mrope_section=(1, 2, 3), image_token_id=7,
+                           video_token_id=8, vision_start_token_id=9)
+    enc = Qwen2_5_VLEncoder(cfg)
+    vkw = dict(max_pixels=24 * 24, patch_size=4, merge_size=2,
+               temporal_patch_size=2, window_size=16)
+
+    r = np.random.default_rng(0)
+    img_a = Image.fromarray((r.random((24, 24, 3)) * 255).astype(np.uint8))
+    img_b = Image.fromarray((r.random((16, 16, 3)) * 255).astype(np.uint8))
+    req_images = [[img_a], [], [img_b]]          # text-only row in between
+
+    S = 80
+    rows, vins = [], []
+    for imgs in req_images:
+        vin = prepare_vision_inputs(imgs or None, **vkw)
+        vins.append(vin)
+        ids = [10, 11]
+        if vin is not None:
+            n = int(np.prod(vin["image_grid_thw"][0])) // 4
+            ids += [9] + [7] * n + [12]
+        ids += [13, 14]
+        mask = [1] * len(ids) + [0] * (S - len(ids))
+        rows.append((np.asarray([ids + [0] * (S - len(ids))], np.int32),
+                     np.asarray([mask], np.int64)))
+
+    def pos3d_of(ids, mask, grids):
+        pos, _ = get_rope_index(
+            ids, image_grid_thw=grids, attention_mask=mask,
+            spatial_merge_size=2, image_token_id=7, video_token_id=8,
+            vision_start_token_id=9)
+        return pos
+
+    def vdict_of(vin):
+        if vin is None:
+            return None
+        return {k: jnp.asarray(vin[k]) for k in
+                ("patches", "pos_hw", "window_seg", "image_seg",
+                 "reverse_index")}
+
+    # init once on the batched shapes
+    ids_all = np.concatenate([r0 for r0, _ in rows], axis=0)
+    mask_all = np.concatenate([m for _, m in rows], axis=0)
+    vin_all = prepare_vision_inputs([img_a, img_b], **vkw)
+    pos_all = pos3d_of(ids_all, mask_all, vin_all["image_grid_thw"])
+    params = enc.init(jax.random.key(0), jnp.asarray(ids_all),
+                      jnp.asarray(mask_all, bool), jnp.asarray(pos_all),
+                      vdict_of(vin_all))
+
+    batched = enc.apply(params, jnp.asarray(ids_all),
+                        jnp.asarray(mask_all, bool), jnp.asarray(pos_all),
+                        vdict_of(vin_all))
+    serial = []
+    for (ids, mask), vin in zip(rows, vins):
+        grids = None if vin is None else vin["image_grid_thw"]
+        pos = pos3d_of(ids, mask, grids)
+        serial.append(enc.apply(params, jnp.asarray(ids),
+                                jnp.asarray(mask, bool), jnp.asarray(pos),
+                                vdict_of(vin)))
+    serial = jnp.concatenate(serial, axis=0)
+    np.testing.assert_allclose(np.asarray(batched, np.float32),
+                               np.asarray(serial, np.float32),
+                               atol=2e-4, rtol=2e-4)

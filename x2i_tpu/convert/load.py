@@ -428,10 +428,17 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                              vdict)
 
     def encoder_batch_fn(inputs_list):
-        """One padded 512-token prefill for a whole text request list;
-        multimodal or use_answer requests fall back to serial encodes
-        (their vision tensors are per-request shapes)."""
-        if any(i.get("images") or i.get("video") or i.get("audio")
+        """One padded 512-token prefill for the whole request list,
+        images included: every request's images concatenate (in request
+        order) into ONE vision-tower call, and embed_multimodal's flat
+        cumsum scatter routes each row's features to its own
+        <|image_pad|> span — features stay in request order and
+        text-only rows contribute no vision tokens, so mixed text+image
+        batches stay aligned. Video / audio / use_answer requests fall
+        back to serial encodes (per-request frame counts; answer decode
+        extends the conditioning sequence). The reference encodes every
+        request alone (one CLI run each, inference_qwenvl.py:136-180)."""
+        if any(i.get("video") is not None or i.get("audio") is not None
                or i.get("use_answer") for i in inputs_list):
             return jnp.concatenate(
                 [encoder_fn(i) for i in inputs_list], axis=0)
@@ -439,9 +446,17 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
         ids = np.concatenate([p[0] for p in preps], axis=0)
         mask = np.concatenate([p[1] for p in preps], axis=0)
         pos3d = np.concatenate([p[2] for p in preps], axis=1)
+        all_images = [im for i in inputs_list
+                      for im in (i.get("images") or [])]
+        vdict = None
+        if all_images:
+            vin = prepare_vision_inputs(all_images)
+            vdict = {k: jnp.asarray(vin[k]) for k in
+                     ("patches", "pos_hw", "window_seg", "image_seg",
+                      "reverse_index")}
         return encoder.apply({"params": enc_params}, jnp.asarray(ids),
                              jnp.asarray(mask, bool), jnp.asarray(pos3d),
-                             None)
+                             vdict)
 
     encoder_fn.batch = encoder_batch_fn
     # handles for callers that drive the LM directly (multiturn REPL)

@@ -90,7 +90,7 @@ def _rope_bhsd_T(x: jnp.ndarray, cos: jnp.ndarray,
 def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
                   mask_ref, o_ref, lse_ref, krot_ref, *,
                   scale: float, causal: bool, block_q: int,
-                  qk_norm_eps: float = 1e-6):
+                  qk_norm_eps: float = 1e-6, pipeline_kc: int = 0):
     """One (batch, q-head, q-block) program; full KV rows resident.
 
     When cos/sin refs are given (FLUX joint attention), the half-layout
@@ -102,7 +102,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
     scale (and the exp2 log2 e factor) is folded into the q tile here,
     saving a full (BQ, Skv) f32 multiply per program."""
     i = pl.program_id(2)
-    v = v_ref[0, 0]                                      # (Skv, D)
     if cos_ref is not None:
         d2 = q_ref.shape[-1] // 2
 
@@ -144,7 +143,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
 
             jax.lax.fori_loop(0, skv // kc, body, 0, unroll=False)
 
-        k = krot_ref[...]
         qf = q_ref[0, 0].astype(jnp.float32)
         if qw_ref is not None:
             qw = (qw_ref[0] if qw_ref.shape[0] == 1
@@ -156,10 +154,54 @@ def _flash_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, qw_ref, kw_ref,
         sq = sin_ref[pl.ds(i * block_q, block_q), :]
         q = ((qf * cq + pltpu.roll(qf, d2, 1) * sq) * (scale * LOG2_E)
              ).astype(q_ref.dtype)
+    else:
+        q = q_ref[0, 0]                                  # (BQ, D)
+
+    if pipeline_kc:
+        # Software-pipelined softmax (inference forward: no lse, no mask,
+        # non-causal). The monolithic body serializes MXU and VPU: the
+        # full (BQ, Skv) score matmul, THEN the softmax VPU passes, THEN
+        # PV — measured 2.03 ms/launch at the FLUX point vs a ~1.32 ms
+        # MXU bound. Chunking the KV axis and issuing chunk c+1's score
+        # matmul BEFORE chunk c's exp2 lets the VPU softmax run under the
+        # MXU. Exactness: without the row-max subtraction softmax over
+        # exp2 is mathematically identical as long as nothing overflows;
+        # the +/-100 clamp (exp2 domain) guards that — qk-normed FLUX
+        # scores are bounded |s| <~ 65, so the clamp never binds on real
+        # rows (a row whose EVERY score is < -100 would flatten to
+        # uniform; can't happen with zero-mean logits).
+        nch = (k_ref.shape[2] if cos_ref is None else krot_ref.shape[0]) \
+            // pipeline_kc
+        post = 1.0 if cos_ref is not None else scale * LOG2_E
+
+        def kchunk(c):
+            rows = pl.ds(c * pipeline_kc, pipeline_kc)
+            kc = (krot_ref[rows, :] if cos_ref is not None
+                  else k_ref[0, 0, rows, :])
+            s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return s if post == 1.0 else s * post
+
+        s_cur = kchunk(0)
+        o_acc = jnp.zeros((q.shape[0], v_ref.shape[-1]), jnp.float32)
+        l = jnp.zeros((q.shape[0], 1), jnp.float32)
+        for c in range(nch):
+            s_next = kchunk(c + 1) if c + 1 < nch else None
+            p = jnp.exp2(jnp.clip(s_cur, -100.0, 100.0))
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            vc = v_ref[0, 0, pl.ds(c * pipeline_kc, pipeline_kc), :]
+            o_acc = o_acc + jnp.dot(p.astype(vc.dtype), vc,
+                                    preferred_element_type=jnp.float32)
+            s_cur = s_next
+        o_ref[0, 0] = (o_acc / l).astype(o_ref.dtype)
+        return
+
+    v = v_ref[0, 0]                                      # (Skv, D)
+    if cos_ref is not None:
+        k = krot_ref[...]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     else:
-        q = q_ref[0, 0]                                  # (BQ, D)
         k = k_ref[0, 0]                                  # (Skv, D)
         s = _logits(q, k, scale * LOG2_E)                # (BQ, Skv) f32·lg e
     s = _apply_masks(s, None if mask_ref is None else mask_ref[0], causal,
@@ -199,6 +241,17 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         # inference forward (no lse) keeps BQ=256
         block_q = min(block_q, 128)
     grid = (batch, hq, pl.cdiv(sq, block_q))
+
+    # software-pipelined softmax (see _flash_kernel): inference forward
+    # only — the lse/masked/causal paths keep the monolithic exact body
+    pipeline_kc = 0
+    if (not return_lse and not causal and kv_mask is None
+            and os.environ.get("X2I_FA_PIPELINE", "1") != "0"):
+        kc_pref = int(os.environ.get("X2I_FA_PIPELINE_KC", "512"))
+        for cand in (kc_pref, 512, 256, 128):
+            if cand and skv % cand == 0 and skv // cand >= 2:
+                pipeline_kc = cand
+                break
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
@@ -291,7 +344,7 @@ def _flash_forward(q, k, v, kv_mask, *, causal: bool, scale: float,
         krot = refs[-1] if has_rope else None
         _flash_kernel(qr, kr, vr, cr, sr, qwr, kwr, mr, orf, lr, krot,
                       scale=scale, causal=causal, block_q=block_q,
-                      qk_norm_eps=qk_eps)
+                      qk_norm_eps=qk_eps, pipeline_kc=pipeline_kc)
 
     out = pl.pallas_call(
         kernel,
