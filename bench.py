@@ -70,6 +70,12 @@ def main():
     batch = int(os.environ.get("X2I_BENCH_BATCH", "1"))
     px = int(os.environ.get("X2I_BENCH_PX", "1024"))
     use_pallas = os.environ.get("X2I_BENCH_ATTN", "pallas") != "xla"
+    # dev-mode operating point (reference README: FLUX.1-dev 28 steps,
+    # guidance 3.5, dynamic shifting): X2I_BENCH_STEPS=28
+    # X2I_BENCH_GUIDANCE=3.5. Default is the schnell 4-step headline.
+    steps = int(os.environ.get("X2I_BENCH_STEPS", "4"))
+    guidance_s = os.environ.get("X2I_BENCH_GUIDANCE")
+    guidance = None if guidance_s is None else float(guidance_s)
 
     rope_layout = os.environ.get("X2I_BENCH_ROPE", "half")
     # Pallas fused glue kernels (ops/fused_glue.py): on w8a8 they fuse
@@ -77,7 +83,7 @@ def main():
     # modes LN+modulate in one pass (bf16 out). The model picks the mode
     # (flux._use_fused_glue); X2I_BENCH_FUSED_GLUE=0 to disable.
     fused_glue = os.environ.get("X2I_BENCH_FUSED_GLUE", "1") == "1"
-    cfg = FluxConfig(quantized=quant, guidance_embeds=False,
+    cfg = FluxConfig(quantized=quant, guidance_embeds=guidance is not None,
                      use_pallas_attention=use_pallas,
                      rope_layout=rope_layout, fused_glue=fused_glue)
     model = FluxTransformer2D(cfg)
@@ -95,8 +101,15 @@ def main():
                                       vcfg.latent_channels),
                                      jnp.bfloat16), method=vae.decode)
 
-    sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
-    sigmas = sched.inference_sigmas(4)
+    # dev checkpoints sample with dynamic (resolution-dependent) shifting,
+    # schnell with shift=1 (diffusers FluxPipeline scheduler configs)
+    if guidance is not None:
+        sched = FlowMatchEulerScheduler(
+            SchedulerConfig(use_dynamic_shifting=True))
+        sigmas = sched.inference_sigmas(steps, image_seq_len=s_img)
+    else:
+        sched = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+        sigmas = sched.inference_sigmas(steps)
     img_ids = prepare_latent_image_ids(grid, grid)
     txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
 
@@ -108,9 +121,9 @@ def main():
 
     def run_denoise(params, noise, prompt, pooled):
         def model_fn(lat, pr, po, t, iid, tid, g):
-            return model.apply(params, lat, pr, po, t, iid, tid)
+            return model.apply(params, lat, pr, po, t, iid, tid, g)
         lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids)
+                      txt_ids, guidance_scale=guidance)
         lat = unpack_latents(lat, px, px)                  # (B, C, h, w)
         return jnp.transpose(lat, (0, 2, 3, 1))
 
@@ -161,7 +174,7 @@ def main():
 
     value = batch / dt
     print(json.dumps({
-        "metric": f"{px}^2 images/sec/chip (FLUX 4-step + VAE, "
+        "metric": f"{px}^2 images/sec/chip (FLUX {steps}-step + VAE, "
                   f"{quant} weights, batch {batch})",
         "value": round(value, 4),
         "unit": "img/s",

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
-PX = 512
+PX = 512          # overridden by --px (1024 = the headline operating point)
 STEPS = 4
 S_TXT = 512
 
@@ -222,14 +222,19 @@ def run_mode(mode: str, out_dir: str):
           f"finite={np.isfinite(img).all()} std={img.std():.4f}",
           flush=True)
     os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, f"img_{mode}.npy"), img)
+    np.save(os.path.join(out_dir, f"img_{mode}{_sfx()}.npy"), img)
+
+
+def _sfx() -> str:
+    """512^2 artifacts keep their round-3 names; other px get a suffix."""
+    return "" if PX == 512 else f"_{PX}"
 
 
 def compare(out_dir: str):
-    ref = np.load(os.path.join(out_dir, "img_bf16.npy"))
+    ref = np.load(os.path.join(out_dir, f"img_bf16{_sfx()}.npy"))
     out = {}
     for mode in ("w8a8", "w4", "w8"):
-        p = os.path.join(out_dir, f"img_{mode}.npy")
+        p = os.path.join(out_dir, f"img_{mode}{_sfx()}.npy")
         if not os.path.exists(p):
             continue
         x = np.load(p)
@@ -251,7 +256,10 @@ def main(argv=None):
     ap.add_argument("--mode", required=True,
                     choices=("bf16", "w8a8", "w8", "w4", "compare"))
     ap.add_argument("--out_dir", default="/tmp/x2i_quant_e2e")
+    ap.add_argument("--px", type=int, default=512)
     a = ap.parse_args(argv)
+    global PX
+    PX = a.px
     if a.mode == "compare":
         compare(a.out_dir)
     else:

@@ -62,6 +62,10 @@ def main():
     print(f"backend: {jax.default_backend()}  px={px} prefill={s_txt}",
           flush=True)
 
+    if os.environ.get("X2I_SERVE_VISION", "0") == "1":
+        # image-conditioned encoder batching A/B only (no DiT resident)
+        return _vision_encode_ab(s_txt)
+
     # --- encoder, int8. Default: the InternVL2.5-1B LM (Qwen2.5-0.5B
     # shape = Qwen2Config defaults) — 0.9 GiB int8, the encoder family
     # that FITS next to the int8 12B DiT on one chip. X2I_SERVE_LM=3b
@@ -181,6 +185,129 @@ def main():
         print(f"encoder batch={bsz}: batched {bt*1000:.0f} ms vs serial "
               f"{st*1000:.0f} ms -> {st/bt:.2f}x "
               f"({bsz/bt:.2f} vs {bsz/st:.2f} enc-req/s)", flush=True)
+
+
+def _vision_encode_ab(s_txt: int):
+    """Image-conditioned serving encode A/B (X2I_SERVE_VISION=1): B
+    image+text requests through ONE vision-tower call + ONE (B, S)
+    prefill+proj (convert/load.py::encoder_batch_fn's batched path) vs B
+    serial encodes. Uses the flagship Qwen2.5-VL-7B shapes — full-size
+    vision tower (bf16, ~1.3 GiB) + w8a8 7B LM — and the reference's
+    image policy (max 128^2 px -> one static 16-token grid per image,
+    inference_qwenvl.py:136-180), which is what makes image requests
+    shape-bucketable."""
+    from PIL import Image
+
+    from tools._bench_common import pattern_params, qwen_lm_config
+    from x2i_tpu.core.config import ProjConfig
+    from x2i_tpu.data.qwen_vision import (get_rope_index,
+                                          prepare_vision_inputs)
+    from x2i_tpu.models.proj import Proj
+    from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
+                                           Qwen2_5_VLEncoder,
+                                           QwenVisionConfig)
+
+    lm_quant = os.environ.get("X2I_SERVE_LM_QUANT", "w8a8")
+    lm_cfg = qwen_lm_config(os.environ.get("X2I_SERVE_LM", "7b"), lm_quant)
+    cfg = Qwen2_5_VLConfig(
+        vision=QwenVisionConfig(out_hidden_size=lm_cfg.hidden_size),
+        llm=lm_cfg, mrope_section=(16, 24, 24))
+    enc = Qwen2_5_VLEncoder(cfg)
+    bsz = int(os.environ.get("X2I_SERVE_BATCH", "4"))
+
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray((rng.random((128, 128, 3)) * 255)
+                            .astype(np.uint8)) for _ in range(bsz)]
+    rows = []
+    for im in imgs:
+        vin = prepare_vision_inputs([im])
+        n = int(np.prod(vin["image_grid_thw"][0])) // 4
+        toks = list(rng.integers(5, 1000, 40))
+        ids_r = toks + [cfg.vision_start_token_id] \
+            + [cfg.image_token_id] * n \
+            + list(rng.integers(5, 1000, 12))
+        mask = [1] * len(ids_r) + [0] * (s_txt - len(ids_r))
+        rows.append((np.asarray([ids_r + [0] * (s_txt - len(ids_r))],
+                                np.int32),
+                     np.asarray([mask], np.int64), vin))
+
+    def vdict_of(vin):
+        return {k: jnp.asarray(vin[k]) for k in
+                ("patches", "pos_hw", "window_seg", "image_seg",
+                 "reverse_index")}
+
+    def pos_of(ids, mask, grids):
+        pos, _ = get_rope_index(ids, image_grid_thw=grids,
+                                attention_mask=mask,
+                                image_token_id=cfg.image_token_id,
+                                video_token_id=cfg.video_token_id,
+                                vision_start_token_id=cfg
+                                .vision_start_token_id)
+        return jnp.asarray(pos)
+
+    ids_b = np.concatenate([r[0] for r in rows], 0)
+    mask_b = np.concatenate([r[1] for r in rows], 0)
+    vin_b = prepare_vision_inputs(imgs)
+    pos_b = pos_of(ids_b, mask_b, vin_b["image_grid_thw"])
+
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size)
+    proj = Proj(proj_cfg)
+    proj_params = proj.init(
+        jax.random.key(0),
+        jnp.zeros((1, proj_cfg.in_channels, s_txt, proj_cfg.input_dim),
+                  jnp.bfloat16))
+
+    enc_params = pattern_params(enc, jnp.asarray(ids_b[:1]),
+                                jnp.asarray(mask_b[:1], bool),
+                                pos_of(rows[0][0], rows[0][1],
+                                       rows[0][2]["image_grid_thw"]),
+                                vdict_of(rows[0][2]))
+    n_bytes = sum(x.size * x.dtype.itemsize
+                  for x in jax.tree_util.tree_leaves(enc_params))
+    print(f"VL encoder params ({lm_quant} LM + bf16 vision): "
+          f"{n_bytes/2**30:.2f} GiB", flush=True)
+
+    def encode(enc_params, proj_params, ids, mask, pos, vdict):
+        states = enc.apply(enc_params, ids, mask, pos, vdict)
+        return proj.apply(proj_params, states)
+
+    t0 = time.perf_counter()
+    args_b = (enc_params, proj_params, jnp.asarray(ids_b),
+              jnp.asarray(mask_b, bool), pos_b, vdict_of(vin_b))
+    jenc_b = jax.jit(encode).lower(*args_b).compile()
+    args_s = [(enc_params, proj_params, jnp.asarray(ids),
+               jnp.asarray(mask, bool),
+               pos_of(ids, mask, vin["image_grid_thw"]), vdict_of(vin))
+              for ids, mask, vin in rows]
+    jenc_s = jax.jit(encode).lower(*args_s[0]).compile()
+    print(f"compile: {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # NB: through this environment's relay, block_until_ready can return
+    # BEFORE execution (measured: a 5-iter loop timed "0 ms"). A host
+    # fetch of real output data cannot lie — the TPU executes enqueued
+    # programs in order, so fetching the last result bounds all of them.
+    def drain(out):
+        return float(np.asarray(
+            jax.tree_util.tree_leaves(out)[0][:1, :1], np.float32)[0, 0])
+
+    drain(jenc_b(*args_b))
+    drain(jenc_s(*args_s[0]))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jenc_b(*args_b)
+    drain(out)
+    bt = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for a in args_s:
+            out = jenc_s(*a)
+    drain(out)
+    st = (time.perf_counter() - t0) / iters
+    print(f"image-conditioned encode batch={bsz}: batched {bt*1000:.0f} ms"
+          f" vs serial {st*1000:.0f} ms -> {st/bt:.2f}x "
+          f"({bsz/bt:.2f} vs {bsz/st:.2f} enc-req/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -44,9 +44,21 @@ class TrainLoop:
                  log_every: int = 50,
                  trace_dir: Optional[str] = None,
                  trace_steps: Optional[range] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 on_metrics: Optional[Callable] = None,
+                 aot_example_batch=None):
         self.mesh = mesh or make_mesh()
         self.jstep = jax.jit(step_fn)
+        # on_metrics(step, metrics): per-step hook (metrics are device
+        # arrays — the hook decides what to fetch); for loss curves /
+        # external loggers without wrapping the batch iterator.
+        self.on_metrics = on_metrics
+        # aot_example_batch: compile the step ahead-of-time on this
+        # batch's shapes at run() start. Runtime-jit dispatch of
+        # 12B-scale programs through this environment's TPU relay takes
+        # tens of minutes; .lower().compile() takes seconds and runs the
+        # identical program (same pattern as bench.py).
+        self._aot_batch = aot_example_batch
         self.state = state
         self.frozen_params = frozen_params
         self.batches = batches
@@ -87,15 +99,24 @@ class TrainLoop:
         last_metrics: Dict[str, Any] = {}
         step0 = int(np.asarray(self.state.step))
         it = iter(self.batches)
+        jstep = self.jstep
+        if self._aot_batch is not None:
+            ex = shard_batch(self._aot_batch, self.mesh)
+            t0 = time.monotonic()
+            jstep = self.jstep.lower(self.state, self.frozen_params, ex,
+                                     jax.random.key(self.seed)).compile()
+            log.info("AOT step compile: %.0fs", time.monotonic() - t0)
         for step in range(step0, max_steps):
             batch = shard_batch(next(it), self.mesh)
             rng, sub = jax.random.split(rng)
             tracing = step in self.trace_steps and self.trace_dir
             with trace(self.trace_dir if tracing else None):
                 with timer:
-                    self.state, metrics = self.jstep(
+                    self.state, metrics = jstep(
                         self.state, self.frozen_params, batch, sub)
                     jax.block_until_ready(metrics["loss"])
+            if self.on_metrics is not None:
+                self.on_metrics(step, metrics)
             if step % self.log_every == 0 or step == max_steps - 1:
                 last_metrics = {k: float(np.asarray(v))
                                 for k, v in metrics.items()}
