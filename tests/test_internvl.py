@@ -102,3 +102,40 @@ def test_encoder_hidden_stack_and_scatter(rng):
     assert not np.allclose(np.asarray(stack), np.asarray(stack2))
     text_only = enc.apply(params, jnp.asarray(ids), jnp.asarray(mask))
     assert text_only.shape == stack.shape
+
+
+def test_encoder_batched_tiles_match_serial(rng):
+    """Batched multimodal encode (convert/load.py internvl
+    encoder_batch_fn): all requests' tiles concatenated into ONE ViT
+    call + one (N, S) prefill must equal per-request serial encodes —
+    the flat cumsum scatter routes tile features to rows strictly by
+    request order, and a text-only row in the middle must not shift the
+    mapping. Rows have different tile counts (1 and 2): correctness
+    does not require equal counts, only untruncated spans."""
+    cfg = _tiny_encoder()
+    enc = InternVLEncoder(cfg)
+    S = 16
+    rows = []
+    for n_tiles in (1, 0, 2):
+        ids = rng.integers(10, 500, (1, S))
+        if n_tiles:
+            ids[0, 3:3 + 4 * n_tiles] = 7
+        px = (rng.standard_normal((n_tiles, 28, 28, 3)).astype(np.float32)
+              if n_tiles else None)
+        rows.append((ids, np.ones((1, S), bool), px))
+
+    ids_all = np.concatenate([r[0] for r in rows], 0)
+    mask_all = np.concatenate([r[1] for r in rows], 0)
+    px_all = np.concatenate([r[2] for r in rows if r[2] is not None], 0)
+    params = enc.init(jax.random.key(0), jnp.asarray(ids_all),
+                      jnp.asarray(mask_all), jnp.asarray(px_all))
+
+    batched = enc.apply(params, jnp.asarray(ids_all),
+                        jnp.asarray(mask_all), jnp.asarray(px_all))
+    serial = jnp.concatenate(
+        [enc.apply(params, jnp.asarray(ids), jnp.asarray(mask),
+                   None if px is None else jnp.asarray(px))
+         for ids, mask, px in rows], axis=0)
+    np.testing.assert_allclose(np.asarray(batched, np.float32),
+                               np.asarray(serial, np.float32),
+                               atol=2e-4, rtol=2e-4)

@@ -327,21 +327,51 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
         return encoder.apply({"params": enc_params}, ids, mask, px)
 
     def encoder_batch_fn(inputs_list):
-        """One padded 512-token prefill for text request lists; image
-        requests fall back to serial (per-request tile counts)."""
-        if any(i.get("images") or i.get("use_answer")
-               for i in inputs_list):
+        """One padded 512-token prefill for the whole request list,
+        images included: every request's tiles concatenate (in request
+        order) into ONE ViT call — InternViT attends per tile and the
+        IMG_CONTEXT scatter is a flat cumsum over the whole batch
+        (models/internvl.py:215-220), so features land on each row's own
+        span as long as no row's image tokens were truncated (checked
+        below; a truncated row would shift every later row, so such
+        batches fall back to serial, matching that path's per-request
+        behavior). use_answer raises in encoder_fn (not an internvl
+        feature)."""
+        if any(i.get("use_answer") for i in inputs_list):
             return jnp.concatenate(
                 [encoder_fn(i) for i in inputs_list], axis=0)
-        queries = [internvl2_5_prompt(task_instruction(
-            i.get("task", "text2image"), i.get("prompt"), num_images=0))
-            for i in inputs_list]
+        queries, tiles_per_req = [], []
+        for i in inputs_list:
+            images = i.get("images") or []
+            question = task_instruction(
+                i.get("task", "text2image"), i.get("prompt"),
+                num_images=len(images))
+            if images:
+                question = "<image>\n" + question
+            query = internvl2_5_prompt(question)
+            tiles = None
+            if images:
+                tiles = np.concatenate(
+                    [load_image_tiles(im) for im in images], axis=0)
+                query = expand_image_tokens(
+                    query, [tiles.shape[0]], mllm_cfg.num_image_token)
+            queries.append(query)
+            tiles_per_req.append(tiles)
         enc = tokenizer(queries, padding="max_length", max_length=512,
                         truncation=True)
+        ids = np.asarray(enc["input_ids"], np.int32)
+        ctx = mllm_cfg.img_context_token_id
+        for row, tiles in zip(ids, tiles_per_req):
+            want = 0 if tiles is None else \
+                tiles.shape[0] * mllm_cfg.num_image_token
+            if int((row == ctx).sum()) != want:
+                return jnp.concatenate(
+                    [encoder_fn(i) for i in inputs_list], axis=0)
+        have = [t for t in tiles_per_req if t is not None]
+        px = jnp.asarray(np.concatenate(have, axis=0)) if have else None
         return encoder.apply(
-            {"params": enc_params},
-            jnp.asarray(enc["input_ids"], jnp.int32),
-            jnp.asarray(enc["attention_mask"], bool), None)
+            {"params": enc_params}, jnp.asarray(ids),
+            jnp.asarray(enc["attention_mask"], bool), px)
 
     encoder_fn.batch = encoder_batch_fn
     return encoder_fn

@@ -46,9 +46,15 @@ class TrainLoop:
                  trace_steps: Optional[range] = None,
                  seed: int = 0,
                  on_metrics: Optional[Callable] = None,
-                 aot_example_batch=None):
+                 aot_example_batch=None,
+                 jit_step: bool = True):
         self.mesh = mesh or make_mesh()
-        self.jstep = jax.jit(step_fn)
+        # jit_step=False: step_fn is already executable (e.g. the split
+        # teacher/student two-program step from
+        # train/single_chip.py::compile_single_chip_distill — the
+        # colocated single program OOMs one 16 GB chip at full size);
+        # the loop machinery (resume, checkpoints, metrics) is unchanged.
+        self.jstep = jax.jit(step_fn) if jit_step else step_fn
         # on_metrics(step, metrics): per-step hook (metrics are device
         # arrays — the hook decides what to fetch); for loss curves /
         # external loggers without wrapping the batch iterator.
@@ -100,7 +106,7 @@ class TrainLoop:
         step0 = int(np.asarray(self.state.step))
         it = iter(self.batches)
         jstep = self.jstep
-        if self._aot_batch is not None:
+        if self._aot_batch is not None and hasattr(jstep, "lower"):
             ex = shard_batch(self._aot_batch, self.mesh)
             t0 = time.monotonic()
             jstep = self.jstep.lower(self.state, self.frozen_params, ex,
