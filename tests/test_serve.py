@@ -269,3 +269,130 @@ def test_encode_batch_images_matches_serial():
     np.testing.assert_allclose(np.asarray(batched, np.float32),
                                np.asarray(serial, np.float32),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_concat_vision_inputs_matches_global_prepare():
+    """For image-only request lists the request-major merge must equal
+    the single global prepare call bit for bit (same grid order), pinning
+    the segment/reverse-index offset bookkeeping."""
+    from PIL import Image
+
+    from x2i_tpu.data.qwen_vision import (concat_vision_inputs,
+                                          prepare_vision_inputs)
+
+    vkw = dict(max_pixels=24 * 24, patch_size=4, merge_size=2,
+               temporal_patch_size=2, window_size=16)
+    r = np.random.default_rng(3)
+    img_a = Image.fromarray((r.random((24, 24, 3)) * 255).astype(np.uint8))
+    img_b = Image.fromarray((r.random((16, 16, 3)) * 255).astype(np.uint8))
+
+    merged = concat_vision_inputs([
+        prepare_vision_inputs([img_a], **vkw), None,
+        prepare_vision_inputs([img_b], **vkw)])
+    whole = prepare_vision_inputs([img_a, img_b], **vkw)
+    for k in ("patches", "pos_hw", "window_seg", "image_seg",
+              "reverse_index", "image_grid_thw"):
+        np.testing.assert_array_equal(merged[k], whole[k], err_msg=k)
+    assert concat_vision_inputs([None, None]) is None
+
+
+def test_encode_batch_video_matches_serial():
+    """Batched encode with a VIDEO request in the middle: the per-request
+    merge (concat_vision_inputs) must keep features in request order —
+    request 0's image features, then request 1's video features — which a
+    global prepare_vision_inputs call would NOT (it emits all images
+    before all videos). Pins the batched-video path in
+    convert/load.py::encoder_batch_fn."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from x2i_tpu.core.config import Qwen2Config
+    from x2i_tpu.data.qwen_vision import (concat_vision_inputs,
+                                          get_rope_index,
+                                          prepare_vision_inputs)
+    from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
+                                           Qwen2_5_VLEncoder,
+                                           QwenVisionConfig)
+
+    vis_cfg = QwenVisionConfig(
+        depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+        patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+        window_size=16, out_hidden_size=48, fullatt_block_indexes=(1,),
+        dtype=jnp.float32, param_dtype=jnp.float32)
+    llm_cfg = Qwen2Config(vocab_size=64, hidden_size=48,
+                          intermediate_size=96, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          head_dim=12, rope_theta=1e6, dtype=jnp.float32,
+                          param_dtype=jnp.float32,
+                          use_pallas_attention=False)
+    cfg = Qwen2_5_VLConfig(vision=vis_cfg, llm=llm_cfg,
+                           mrope_section=(1, 2, 3), image_token_id=7,
+                           video_token_id=8, vision_start_token_id=9)
+    enc = Qwen2_5_VLEncoder(cfg)
+    vkw = dict(max_pixels=24 * 24, video_max_pixels=24 * 24, patch_size=4,
+               merge_size=2, temporal_patch_size=2, window_size=16)
+
+    r = np.random.default_rng(1)
+    img = Image.fromarray((r.random((24, 24, 3)) * 255).astype(np.uint8))
+    frames = [Image.fromarray((r.random((16, 16, 3)) * 255)
+                              .astype(np.uint8)) for _ in range(4)]
+    # request 0: image; request 1: text-only; request 2: video
+    reqs = [([img], None), ([], None), ([], frames)]
+
+    S = 112
+    rows, vins = [], []
+    for images, video in reqs:
+        vin = prepare_vision_inputs(
+            images or None, [video] if video is not None else None, **vkw)
+        vins.append(vin)
+        ids = [10, 11]
+        if vin is not None:
+            for g in vin["image_grid_thw"]:
+                ids += [9] + [7] * (int(np.prod(g)) // 4) + [12]
+            for g in vin["video_grid_thw"]:
+                ids += [9] + [8] * (int(np.prod(g)) // 4) + [12]
+        ids += [13, 14]
+        mask = [1] * len(ids) + [0] * (S - len(ids))
+        rows.append((np.asarray([ids + [0] * (S - len(ids))], np.int32),
+                     np.asarray([mask], np.int64)))
+
+    def pos3d_of(ids, mask, vin):
+        pos, _ = get_rope_index(
+            ids,
+            image_grid_thw=None if vin is None else vin["image_grid_thw"],
+            video_grid_thw=None if vin is None else vin["video_grid_thw"],
+            attention_mask=mask, spatial_merge_size=2, image_token_id=7,
+            video_token_id=8, vision_start_token_id=9)
+        return pos
+
+    def vdict_of(vin):
+        if vin is None:
+            return None
+        return {k: jnp.asarray(vin[k]) for k in
+                ("patches", "pos_hw", "window_seg", "image_seg",
+                 "reverse_index")}
+
+    ids_all = np.concatenate([r0 for r0, _ in rows], axis=0)
+    mask_all = np.concatenate([m for _, m in rows], axis=0)
+    vin_all = concat_vision_inputs(vins)
+    pos_all = np.concatenate(
+        [pos3d_of(ids, mask, vin) for (ids, mask), vin in zip(rows, vins)],
+        axis=1)
+    params = enc.init(jax.random.key(0), jnp.asarray(ids_all),
+                      jnp.asarray(mask_all, bool), jnp.asarray(pos_all),
+                      vdict_of(vin_all))
+
+    batched = enc.apply(params, jnp.asarray(ids_all),
+                        jnp.asarray(mask_all, bool), jnp.asarray(pos_all),
+                        vdict_of(vin_all))
+    serial = []
+    for (ids, mask), vin in zip(rows, vins):
+        pos = pos3d_of(ids, mask, vin)
+        serial.append(enc.apply(params, jnp.asarray(ids),
+                                jnp.asarray(mask, bool), jnp.asarray(pos),
+                                vdict_of(vin)))
+    serial = jnp.concatenate(serial, axis=0)
+    np.testing.assert_allclose(np.asarray(batched, np.float32),
+                               np.asarray(serial, np.float32),
+                               atol=2e-4, rtol=2e-4)

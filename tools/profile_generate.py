@@ -200,6 +200,10 @@ def main():
     ap.add_argument("--rope", default="interleaved")
     ap.add_argument("--fused_glue", type=int, default=0)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--family", default=None,
+                    help="also print the top ops of ONE family (substring "
+                    "match, e.g. 'copies') with their HLO definition "
+                    "lines — shapes tell which copy/transpose to attack")
     args = ap.parse_args()
 
     compiled, a = build_generate(args.px, args.quant, args.rope,
@@ -230,6 +234,27 @@ def main():
         fam = fusion_fam.get(name)
         note = f"  [{fam}]" if fam else ""
         print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name[:80]}{note}")
+
+    if args.family:
+        try:
+            hlo = compiled.as_text()
+        except Exception:
+            hlo = ""
+        print(f"\n-- top ops in '{args.family}' " + "-" * 24)
+        shown = 0
+        for name, dur in per_op.most_common():
+            fam = fusion_fam.get(name, classify(name))
+            if args.family.lower() not in fam.lower():
+                continue
+            print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name}")
+            # the HLO definition line carries shapes + operands
+            m = re.search(rf"^\s*%?{re.escape(name)}\s*=\s*(.{{0,200}})",
+                          hlo, re.M)
+            if m:
+                print(f"             {m.group(1)}")
+            shown += 1
+            if shown >= args.top:
+                break
 
 
 if __name__ == "__main__":

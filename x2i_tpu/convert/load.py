@@ -382,7 +382,8 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     inference_qwenvl.py:136-180)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
-    from x2i_tpu.data.qwen_vision import (get_rope_index,
+    from x2i_tpu.data.qwen_vision import (concat_vision_inputs,
+                                          get_rope_index,
                                           prepare_vision_inputs)
     from x2i_tpu.models.qwen2_5_vl import (Qwen2_5_VLConfig,
                                            Qwen2_5_VLEncoder,
@@ -400,7 +401,8 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     merge_tokens = full_cfg.vision.spatial_merge_size ** 2
 
     def _prep(inputs):
-        """-> (ids (1,512), mask (1,512), pos3d (3,1,512), vdict|None)"""
+        """-> (ids (1,512), mask (1,512), pos3d (3,1,512), vdict|None,
+        vin|None — the raw host dict, for batched merging)"""
         images = inputs.get("images") or []
         video = inputs.get("video")
         messages = qwen_chat_messages(inputs.get("task", "text2image"),
@@ -439,10 +441,10 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             vdict = {k: jnp.asarray(vin[k]) for k in
                      ("patches", "pos_hw", "window_seg", "image_seg",
                       "reverse_index")}
-        return ids, mask, pos3d, vdict
+        return ids, mask, pos3d, vdict, vin
 
     def encoder_fn(inputs):
-        ids, mask, pos3d, vdict = _prep(inputs)
+        ids, mask, pos3d, vdict, _ = _prep(inputs)
         if inputs.get("use_answer"):
             # reasoning2image (inference_qwenvl.py:121-132): decode up to
             # 128 answer tokens and condition on cat(prefill, answer)
@@ -459,28 +461,37 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
 
     def encoder_batch_fn(inputs_list):
         """One padded 512-token prefill for the whole request list,
-        images included: every request's images concatenate (in request
-        order) into ONE vision-tower call, and embed_multimodal's flat
-        cumsum scatter routes each row's features to its own
-        <|image_pad|> span — features stay in request order and
-        text-only rows contribute no vision tokens, so mixed text+image
-        batches stay aligned. Video / audio / use_answer requests fall
-        back to serial encodes (per-request frame counts; answer decode
-        extends the conditioning sequence). The reference encodes every
+        images AND videos included: every request's media concatenate (in
+        request order — data/qwen_vision.py::concat_vision_inputs, since
+        a single global prepare call would emit images before videos)
+        into ONE vision-tower call, and embed_multimodal's flat cumsum
+        scatter routes each row's features to its own pad span — features
+        stay in request order and text-only rows contribute no vision
+        tokens, so mixed text/image/video batches stay aligned. Guard: a
+        row whose pad tokens were truncated by the 512 budget (long
+        videos) would shift EVERY later row's mapping, so any
+        pad-count/feature-count mismatch falls the whole batch back to
+        serial. Audio / use_answer requests stay serial (answer decode
+        changes the conditioning length). The reference encodes every
         request alone (one CLI run each, inference_qwenvl.py:136-180)."""
-        if any(i.get("video") is not None or i.get("audio") is not None
-               or i.get("use_answer") for i in inputs_list):
+        if any(i.get("audio") is not None or i.get("use_answer")
+               for i in inputs_list):
             return jnp.concatenate(
                 [encoder_fn(i) for i in inputs_list], axis=0)
         preps = [_prep(i) for i in inputs_list]
+        for (ids_i, _, _, _, vin_i) in preps:
+            want = 0 if vin_i is None else len(vin_i["reverse_index"])
+            got = int(((ids_i == full_cfg.image_token_id)
+                       | (ids_i == full_cfg.video_token_id)).sum())
+            if got != want:                      # truncated pad span
+                return jnp.concatenate(
+                    [encoder_fn(i) for i in inputs_list], axis=0)
         ids = np.concatenate([p[0] for p in preps], axis=0)
         mask = np.concatenate([p[1] for p in preps], axis=0)
         pos3d = np.concatenate([p[2] for p in preps], axis=1)
-        all_images = [im for i in inputs_list
-                      for im in (i.get("images") or [])]
+        vin = concat_vision_inputs([p[4] for p in preps])
         vdict = None
-        if all_images:
-            vin = prepare_vision_inputs(all_images)
+        if vin is not None:
             vdict = {k: jnp.asarray(vin[k]) for k in
                      ("patches", "pos_hw", "window_seg", "image_seg",
                       "reverse_index")}

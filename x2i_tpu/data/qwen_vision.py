@@ -186,6 +186,43 @@ def prepare_vision_inputs(images=None, videos=None,
     }
 
 
+def concat_vision_inputs(vins: Sequence[Optional[Dict]]) -> Optional[Dict]:
+    """Merge per-request prepare_vision_inputs dicts into ONE vision-tower
+    call, preserving REQUEST order.
+
+    Needed for batched serving with mixed media: a single global
+    prepare_vision_inputs(all_images, all_videos) call would emit every
+    image before every video, while embed_multimodal's flat cumsum scatter
+    consumes features strictly in row-major pad-token order (request 0's
+    media, then request 1's...). All the per-grid machinery (rope
+    positions, window segmentation) is independent across grids, so the
+    merge is pure bookkeeping: window/image segment ids shift by the
+    segments seen so far, reverse_index rows by the merge-unit count."""
+    vins = [v for v in vins if v is not None]
+    if not vins:
+        return None
+    segs, imsegs, revs = [], [], []
+    seg0 = im0 = unit0 = 0
+    for v in vins:
+        segs.append(v["window_seg"] + seg0)
+        imsegs.append(v["image_seg"] + im0)
+        revs.append(v["reverse_index"] + unit0)
+        seg0 += int(v["window_seg"][-1]) + 1     # window_seg is sorted
+        im0 += len(v["image_grid_thw"]) + len(v["video_grid_thw"])
+        unit0 += len(v["reverse_index"])
+    return {
+        "patches": np.concatenate([v["patches"] for v in vins], axis=0),
+        "pos_hw": np.concatenate([v["pos_hw"] for v in vins], axis=0),
+        "window_seg": np.concatenate(segs),
+        "image_seg": np.concatenate(imsegs),
+        "reverse_index": np.concatenate(revs),
+        "image_grid_thw": np.concatenate(
+            [v["image_grid_thw"] for v in vins], axis=0),
+        "video_grid_thw": np.concatenate(
+            [v["video_grid_thw"] for v in vins], axis=0),
+    }
+
+
 def get_rope_index(input_ids: np.ndarray,
                    image_grid_thw: Optional[np.ndarray] = None,
                    video_grid_thw: Optional[np.ndarray] = None,
