@@ -120,10 +120,20 @@ def main():
     split_vae = px > 1536
 
     def run_denoise(params, noise, prompt, pooled):
-        def model_fn(lat, pr, po, t, iid, tid, g):
-            return model.apply(params, lat, pr, po, t, iid, tid, g)
+        def model_fn(lat, pr, po, t, iid, tid, g, mods=None):
+            return model.apply(params, lat, pr, po, t, iid, tid, g,
+                               precomputed_mods=mods)
+        # all steps' adaLN mods in one pass (weights read once per image)
+        mods = None
+        if os.environ.get("X2I_BENCH_PRECOMPUTE_MODS", "1") != "0":
+            mods = model.apply(
+                params, noise, prompt, pooled, sigmas[:-1], img_ids,
+                txt_ids,
+                guidance=(None if guidance is None else
+                          jnp.full((batch,), guidance, jnp.float32)),
+                mods_only=True)
         lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids, guidance_scale=guidance)
+                      txt_ids, guidance_scale=guidance, mods=mods)
         lat = unpack_latents(lat, px, px)                  # (B, C, h, w)
         return jnp.transpose(lat, (0, 2, 3, 1))
 

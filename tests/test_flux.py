@@ -339,3 +339,39 @@ def test_pipeline_parallel_grads(rng):
     g_base = jax.grad(loss_base)(args[1])
     np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_base),
                                atol=5e-5)
+
+
+@pytest.mark.parametrize("quant", [None, "w8a8"])
+def test_precomputed_mods_match_per_step(rng, quant):
+    """precompute-mods inference path: the per-step forward given
+    mods_only=True outputs must equal the forward that computes its adaLN
+    denses inline — exactly on w8a8 (per-row activation quantization sees
+    the same temb rows either way). Pins the +16 ms/image optimization in
+    pipeline._generate_jit (mod weights read once, not once per step)."""
+    import dataclasses
+
+    cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
+    if quant:
+        cfg = dataclasses.replace(cfg, quantized=quant)
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+
+    sigmas = jnp.asarray([1.0, 0.75, 0.5], jnp.float32)
+    mods = model.apply(params, hidden, encoder, pooled, sigmas, img_ids,
+                       txt_ids, mods_only=True)
+    assert mods["double_img"].shape == (3, cfg.num_layers, B,
+                                        6 * cfg.inner_dim)
+    assert mods["single"].shape == (3, cfg.num_single_layers, B,
+                                    3 * cfg.inner_dim)
+    for i, sig in enumerate(np.asarray(sigmas)):
+        ti = jnp.full((B,), sig, jnp.float32)
+        ref = model.apply(params, hidden, encoder, pooled, ti, img_ids,
+                          txt_ids)
+        got = model.apply(params, hidden, encoder, pooled, ti, img_ids,
+                          txt_ids,
+                          precomputed_mods=jax.tree.map(lambda x: x[i],
+                                                        mods))
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-5, rtol=2e-5)

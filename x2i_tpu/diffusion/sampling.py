@@ -60,30 +60,35 @@ def denoise(model_fn: Callable[..., jnp.ndarray],
             sigmas: jnp.ndarray,
             img_ids: jnp.ndarray,
             txt_ids: jnp.ndarray,
-            guidance_scale: Optional[float] = None) -> jnp.ndarray:
+            guidance_scale: Optional[float] = None,
+            mods=None) -> jnp.ndarray:
     """lax.scan over Euler steps.
 
     Args:
       model_fn: (latents, prompt, pooled, timestep, img_ids, txt_ids,
-                 guidance|None) -> velocity; typically a partial of
+                 guidance|None[, mods]) -> velocity; typically a partial of
                  FluxTransformer2D.apply over frozen params.
       latents: (B, S_img, C) packed noisy latents.
       sigmas: (num_steps + 1,) from FlowMatchEulerScheduler.inference_sigmas.
       guidance_scale: baked guidance embed value (dev models), or None.
+      mods: optional precomputed per-step adaLN modulation pytree with a
+        leading num_steps axis (FluxTransformer2D mods_only=True output);
+        scanned as xs and passed as model_fn's 8th argument.
     """
     batch = latents.shape[0]
     guidance = (None if guidance_scale is None
                 else jnp.full((batch,), guidance_scale, jnp.float32))
 
-    def step(carry, sig):
+    def step(carry, xs):
         lat = carry
-        sigma, sigma_next = sig
+        (sigma, sigma_next), m = xs
         timestep = jnp.full((batch,), sigma, jnp.float32)
-        vel = model_fn(lat, prompt_embeds, pooled_embeds, timestep,
-                       img_ids, txt_ids, guidance)
+        args = (lat, prompt_embeds, pooled_embeds, timestep, img_ids,
+                txt_ids, guidance)
+        vel = model_fn(*args) if m is None else model_fn(*args, m)
         lat = FlowMatchEulerScheduler.step(lat, vel, sigma, sigma_next)
         return lat, None
 
     pairs = (sigmas[:-1], sigmas[1:])
-    latents, _ = jax.lax.scan(step, latents, pairs)
+    latents, _ = jax.lax.scan(step, latents, (pairs, mods))
     return latents

@@ -202,22 +202,34 @@ class FluxDoubleBlock(nn.Module):
     """
     cfg: FluxConfig
     kd_quantize: bool = False      # emit ys as int8 (values, scales) pairs
+    mods_only: bool = False        # only run the adaLN mod denses (see
+    #                                FluxTransformer2D precompute-mods mode)
 
     @nn.compact
-    def __call__(self, carry, temb, rope, control, kd_target=None,
-                 kd_tau=3.0):
+    def __call__(self, carry, temb, rope=None, control=None, kd_target=None,
+                 kd_tau=3.0, mods=None):
         cfg = self.cfg
+        dim = cfg.inner_dim
+        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
+        if self.mods_only:
+            # precompute-mods pass: temb carries ALL denoise steps' rows,
+            # so each layer's mod weights are read once per image instead
+            # of once per step (the M=1 int8 matvecs are bandwidth-bound
+            # on those reads — ~21.5 ms/image at 1024² 4-step, measured)
+            return carry, (dense(6 * dim, "img_mod")(nn.silu(temb)),
+                           dense(6 * dim, "txt_mod")(nn.silu(temb)))
         kd_quantize = self.kd_quantize
         hidden, encoder = carry
-        dim = cfg.inner_dim
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
-        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
         # AdaLN-Zero modulation for both streams.
-        mod = dense(6 * dim, "img_mod")(nn.silu(temb))
+        if mods is not None:
+            mod, cmod = mods
+        else:
+            mod = dense(6 * dim, "img_mod")(nn.silu(temb))
+            cmod = dense(6 * dim, "txt_mod")(nn.silu(temb))
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
-        cmod = dense(6 * dim, "txt_mod")(nn.silu(temb))
         (c_shift_msa, c_scale_msa, c_gate_msa,
          c_shift_mlp, c_scale_mlp, c_gate_mlp) = jnp.split(cmod, 6, axis=-1)
 
@@ -355,17 +367,22 @@ class FluxSingleBlock(nn.Module):
     (pre_only) — its raw head-concat output is the distillation target."""
     cfg: FluxConfig
     kd_quantize: bool = False      # emit ys as int8 (values, scales) pairs
+    mods_only: bool = False        # only run the adaLN mod dense
 
     @nn.compact
-    def __call__(self, hidden, temb, rope, kd_target=None, kd_tau=3.0):
+    def __call__(self, hidden, temb, rope=None, kd_target=None, kd_tau=3.0,
+                 mods=None):
         cfg = self.cfg
-        kd_quantize = self.kd_quantize
         dim = cfg.inner_dim
+        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
+        if self.mods_only:
+            return hidden, dense(3 * dim, "mod")(nn.silu(temb))
+        kd_quantize = self.kd_quantize
         heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
-        dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
-        mod = dense(3 * dim, "mod")(nn.silu(temb))
+        mod = (mods if mods is not None
+               else dense(3 * dim, "mod")(nn.silu(temb)))
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         # fused_glue: one-HBM-pass Pallas kernels produce pre-quantized
         # (int8, row-scale) inputs for the w8a8 matmuls (ops/fused_glue);
@@ -430,6 +447,53 @@ class FluxTransformer2D(nn.Module):
     """Top-level DiT (lightcontrol_flux.py:208-553)."""
     cfg: FluxConfig
 
+    def _precompute_mods_scans(self, temb, nT: int, batch: int):
+        """mods_only tail: run ONLY the per-block adaLN denses over the
+        (T*B, dim) all-steps temb, through the same named scans (so the
+        same stacked params are read), and return per-step scan-xs mods.
+        Why: at batch 1 each mod dense is an M=1 int8 matvec that XLA
+        lowers as a bandwidth-bound dequant-reduce; recomputing it per
+        denoise step re-reads every mod weight T times (~21.5 ms of the
+        1254 ms 1024² 4-step image, measured via profile_generate
+        --family elementwise). One M=T*B pass reads each weight once."""
+        cfg = self.cfg
+        carry = jnp.zeros((), cfg.dtype)
+        _, (dmod, dcmod) = nn.scan(
+            FluxDoubleBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,),
+            length=cfg.num_layers,
+        )(cfg, False, True, name="double_blocks")(carry, temb)
+        chunks = cfg.single_scan_chunks
+        if chunks > 1:
+            per = cfg.num_single_layers // chunks
+            smod = jnp.concatenate([
+                nn.scan(
+                    FluxSingleBlock,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast,),
+                    length=per,
+                )(cfg, False, True, name=f"single_blocks_{i}")(carry,
+                                                               temb)[1]
+                for i in range(chunks)], axis=0)
+        else:
+            _, smod = nn.scan(
+                FluxSingleBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,),
+                length=cfg.num_single_layers,
+            )(cfg, False, True, name="single_blocks")(carry, temb)
+
+        def tlb(y):                       # (L, T*B, D) -> (T, L, B, D)
+            lyr, tb, d = y.shape
+            return jnp.swapaxes(y.reshape(lyr, nT, tb // nT, d), 0, 1)
+
+        return {"double_img": tlb(dmod), "double_txt": tlb(dcmod),
+                "single": tlb(smod)}
+
     @nn.compact
     def __call__(self,
                  hidden_states: jnp.ndarray,        # (B, S_img, in_channels)
@@ -444,7 +508,9 @@ class FluxTransformer2D(nn.Module):
                  quantize_attn_outputs: bool = False,      # aux as int8
                  kd_targets: Optional[dict] = None,        # teacher aux
                  kd_temperature: float = 3.0,
-                 aux_layout: str = "reference"):
+                 aux_layout: str = "reference",
+                 precomputed_mods: Optional[dict] = None,  # per-step adaLN
+                 mods_only: bool = False):
         # aux_layout: "reference" = (B, L, S, D) KD stacks matching
         # train_minicpm.py:335-337; "scan" = the scan-native (L, B, S, D)
         # layout, which skips the transpose copies on both the teacher
@@ -454,24 +520,44 @@ class FluxTransformer2D(nn.Module):
         dim = cfg.inner_dim
         dense = make_dense(cfg.quantized, cfg.dtype, cfg.param_dtype)
 
-        hidden = dense(dim, "x_embedder")(hidden_states.astype(cfg.dtype))
-        encoder = dense(dim, "context_embedder")(
-            encoder_hidden_states.astype(cfg.dtype))
+        if mods_only:
+            # precompute-mods mode: `timestep` is the (T,) per-step sigma
+            # vector; every block's adaLN dense runs ONCE over all T*B
+            # temb rows (see _precompute_mods_scans). hidden/encoder
+            # inputs are ignored.
+            batch = pooled_projections.shape[0]
+            nT = timestep.shape[0]
+            t_flat = jnp.repeat(timestep, batch)              # (T*B,)
+            pooled_rep = jnp.tile(pooled_projections, (nT, 1))
+            guidance_rep = (None if guidance is None
+                            else jnp.tile(guidance, nT))
+        else:
+            hidden = dense(dim, "x_embedder")(
+                hidden_states.astype(cfg.dtype))
+            encoder = dense(dim, "context_embedder")(
+                encoder_hidden_states.astype(cfg.dtype))
+            t_flat, pooled_rep, guidance_rep = (timestep,
+                                                pooled_projections,
+                                                guidance)
 
         temb = MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
                            cfg.quantized, name="time_embedder")(
-            timestep_embedding(timestep * 1000.0, cfg.time_embed_dim)
+            timestep_embedding(t_flat * 1000.0, cfg.time_embed_dim)
             .astype(cfg.dtype))
         temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
                                   cfg.quantized, name="pooled_embedder")(
-            pooled_projections.astype(cfg.dtype))
+            pooled_rep.astype(cfg.dtype))
         if cfg.guidance_embeds:
             if guidance is None:
                 raise ValueError("guidance_embeds=True requires guidance")
             temb = temb + MLPEmbedder(dim, dim, cfg.dtype, cfg.param_dtype,
                                       cfg.quantized, name="guidance_embedder")(
-                timestep_embedding(guidance * 1000.0, cfg.time_embed_dim)
+                timestep_embedding(guidance_rep * 1000.0, cfg.time_embed_dim)
                 .astype(cfg.dtype))
+
+        if mods_only:
+            return self._precompute_mods_scans(temb, timestep.shape[0],
+                                               pooled_projections.shape[0])
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         if cfg.rope_layout == "half":
@@ -525,16 +611,20 @@ class FluxTransformer2D(nn.Module):
             kd_double = kd_single = None
             kd_axis = nn.broadcast
         kd_quant = quantize_attn_outputs and kd_targets is None
+        dmods_axis = nn.broadcast if precomputed_mods is None else 0
+        dmods = (None if precomputed_mods is None else
+                 (precomputed_mods["double_img"],
+                  precomputed_mods["double_txt"]))
         (hidden, encoder), (img_attns, txt_attns) = stack_remat(nn.scan(
             DoubleBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, control_axis, kd_axis,
-                     nn.broadcast),
+                     nn.broadcast, dmods_axis),
             length=cfg.num_layers,
         ))(cfg, kd_quant, name="double_blocks")(
             (hidden, encoder), temb, rope, controls, kd_double,
-            kd_temperature)
+            kd_temperature, dmods)
 
         joint = jnp.concatenate([encoder, hidden], axis=1)
         chunks = cfg.single_scan_chunks
@@ -559,6 +649,9 @@ class FluxTransformer2D(nn.Module):
                 return jax.tree_util.tree_map(
                     lambda x: x[i * per:(i + 1) * per], t)
 
+            smods = (None if precomputed_mods is None
+                     else precomputed_mods["single"])
+            smods_axis = nn.broadcast if smods is None else 0
             ys = []
             for i in range(chunks):
                 joint, y = stack_remat(nn.scan(
@@ -566,23 +659,28 @@ class FluxTransformer2D(nn.Module):
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     in_axes=(nn.broadcast, nn.broadcast, kd_axis,
-                             nn.broadcast),
+                             nn.broadcast, smods_axis),
                     length=per,
                 ))(cfg, kd_quant, name=f"single_blocks_{i}")(
                     joint, temb, rope, chunk_xs(kd_single, i),
-                    kd_temperature)
+                    kd_temperature,
+                    None if smods is None else smods[i * per:(i + 1) * per])
                 ys.append(y)
             single_attns = ys                    # list of per-chunk ys
         else:
+            smods = (None if precomputed_mods is None
+                     else precomputed_mods["single"])
+            smods_axis = nn.broadcast if smods is None else 0
             joint, single_attns = stack_remat(nn.scan(
                 SingleBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast, kd_axis, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, kd_axis, nn.broadcast,
+                         smods_axis),
                 length=cfg.num_single_layers,
             ))(cfg, kd_quant, name="single_blocks")(joint, temb, rope,
                                                     kd_single,
-                                                    kd_temperature)
+                                                    kd_temperature, smods)
 
         hidden = joint[:, encoder.shape[1]:, :]
 

@@ -138,7 +138,7 @@ class X2IPipeline:
             sigmas = self.scheduler.inference_sigmas(
                 num_steps, image_seq_len=noise.shape[1])
 
-            def model_fn(lat, pr, po, t, iid, tid, g):
+            def model_fn(lat, pr, po, t, iid, tid, g, mods=None):
                 controls = None
                 if control_pixels is not None:
                     from x2i_tpu.models.controlnext import \
@@ -147,14 +147,25 @@ class X2IPipeline:
                         self.control_cfg, self.control_params,
                         control_pixels, t * 1000.0)
                 return self.flux.apply(flux_params, lat, pr, po, t, iid,
-                                       tid, guidance=g, controls=controls)
+                                       tid, guidance=g, controls=controls,
+                                       precomputed_mods=mods)
 
             gscale = (self.gen_cfg.guidance_scale
                       if self.flux.cfg.guidance_embeds else None)
+            pooled_c = pooled.astype(self.flux.cfg.dtype)
+            # all denoise steps' adaLN modulations in one pass (each mod
+            # weight read once per image instead of once per step)
+            mods = self.flux.apply(
+                flux_params, noise, prompt_embeds, pooled_c, sigmas[:-1],
+                img_ids, txt_ids,
+                guidance=(None if gscale is None else
+                          jnp.full((noise.shape[0],), gscale, jnp.float32)),
+                mods_only=True)
             lat = denoise(model_fn, noise,
                           prompt_embeds.astype(self.flux.cfg.dtype),
-                          pooled.astype(self.flux.cfg.dtype), sigmas,
-                          img_ids, txt_ids, guidance_scale=gscale)
+                          pooled_c, sigmas,
+                          img_ids, txt_ids, guidance_scale=gscale,
+                          mods=mods)
             lat = unpack_latents(lat, height, width)
             tile_px = self.gen_cfg.vae_tile_px
             if tile_px and max(height, width) > tile_px:
