@@ -120,20 +120,14 @@ def main():
     split_vae = px > 1536
 
     def run_denoise(params, noise, prompt, pooled):
-        def model_fn(lat, pr, po, t, iid, tid, g, mods=None):
-            return model.apply(params, lat, pr, po, t, iid, tid, g,
-                               precomputed_mods=mods)
-        # all steps' adaLN mods in one pass (weights read once per image)
-        mods = None
-        if os.environ.get("X2I_BENCH_PRECOMPUTE_MODS", "1") != "0":
-            mods = model.apply(
-                params, noise, prompt, pooled, sigmas[:-1], img_ids,
-                txt_ids,
-                guidance=(None if guidance is None else
-                          jnp.full((batch,), guidance, jnp.float32)),
-                mods_only=True)
-        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids, guidance_scale=guidance, mods=mods)
+        # shared helper (diffusion.denoise_flux) = the pipeline's shipping
+        # precomputed-mods program; env gate kept for A/Bs
+        from x2i_tpu.diffusion import denoise_flux
+        lat = denoise_flux(
+            model, params, noise, prompt, pooled, sigmas, img_ids,
+            txt_ids, guidance_scale=guidance,
+            precompute_mods=os.environ.get(
+                "X2I_BENCH_PRECOMPUTE_MODS", "1") != "0")
         lat = unpack_latents(lat, px, px)                  # (B, C, h, w)
         return jnp.transpose(lat, (0, 2, 3, 1))
 

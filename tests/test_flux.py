@@ -341,18 +341,23 @@ def test_pipeline_parallel_grads(rng):
                                atol=5e-5)
 
 
-@pytest.mark.parametrize("quant", [None, "w8a8"])
-def test_precomputed_mods_match_per_step(rng, quant):
+@pytest.mark.parametrize("quant,chunks", [(None, 1), ("w8a8", 1),
+                                          (None, 2)])
+def test_precomputed_mods_match_per_step(rng, quant, chunks):
     """precompute-mods inference path: the per-step forward given
     mods_only=True outputs must equal the forward that computes its adaLN
     denses inline — exactly on w8a8 (per-row activation quantization sees
-    the same temb rows either way). Pins the +16 ms/image optimization in
-    pipeline._generate_jit (mod weights read once, not once per step)."""
+    the same temb rows either way), and with single_scan_chunks>1 (the
+    per-chunk `single_blocks_{i}` scans must concatenate in layer order).
+    Pins the +16 ms/image optimization in pipeline._generate_jit (mod
+    weights read once, not once per step)."""
     import dataclasses
 
     cfg, hidden, encoder, pooled, t, img_ids, txt_ids = _inputs(rng)
     if quant:
         cfg = dataclasses.replace(cfg, quantized=quant)
+    if chunks > 1:
+        cfg = dataclasses.replace(cfg, single_scan_chunks=chunks)
     model = FluxTransformer2D(cfg)
     params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
                         img_ids, txt_ids)

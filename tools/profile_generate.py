@@ -56,10 +56,10 @@ def build_generate(px: int, quant: str = "w8a8",
     txt_ids = jnp.zeros((s_txt, 3), jnp.float32)
 
     def generate(params, vae_params, noise, prompt, pooled):
-        def model_fn(lat, pr, po, t, iid, tid, g):
-            return model.apply(params, lat, pr, po, t, iid, tid)
-        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids)
+        # shared helper = the pipeline's shipping precomputed-mods program
+        from x2i_tpu.diffusion import denoise_flux
+        lat = denoise_flux(model, params, noise, prompt, pooled, sigmas,
+                           img_ids, txt_ids)
         lat = unpack_latents(lat, px, px)
         return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
                          method=vae.decode)

@@ -195,10 +195,10 @@ def _build(quant, on_cpu: bool, out_dir: str):
         (1, cfg.pooled_projection_dim)) * 0.05, jnp.bfloat16)
 
     def fn(params, vae_params, noise, prompt, pooled):
-        def model_fn(lat, pr, po, t, iid, tid, g):
-            return model.apply(params, lat, pr, po, t, iid, tid)
-        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids)
+        # shared helper = the pipeline's shipping precomputed-mods program
+        from x2i_tpu.diffusion import denoise_flux
+        lat = denoise_flux(model, params, noise, prompt, pooled, sigmas,
+                           img_ids, txt_ids)
         lat = unpack_latents(lat, PX, PX)
         return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
                          method=vae.decode)

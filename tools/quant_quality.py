@@ -162,11 +162,10 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
         else:
             m, p = model, params
 
-        def model_fn(lat, pr, po, t, iid, tid, g):
-            return m.apply(p, lat, pr, po, t, iid, tid)
-
-        lat = jax.jit(lambda n: denoise(model_fn, n, prompt, pooled,
-                                        sigmas, img_ids, txt_ids))(noise)
+        from x2i_tpu.diffusion import denoise_flux
+        lat = jax.jit(lambda n: denoise_flux(m, p, n, prompt, pooled,
+                                             sigmas, img_ids,
+                                             txt_ids))(noise)
         return np.asarray(lat, np.float32)
 
     ref = run(False)

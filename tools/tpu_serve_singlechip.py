@@ -123,10 +123,10 @@ def main():
         return proj.apply(proj_params, states)     # (pooled, seq)
 
     def generate(flux_params, vae_params, noise, prompt, pooled):
-        def model_fn(lat, pr, po, t, iid, tid, g):
-            return flux.apply(flux_params, lat, pr, po, t, iid, tid)
-        lat = denoise(model_fn, noise, prompt, pooled, sigmas, img_ids,
-                      txt_ids)
+        # shared helper = the pipeline's shipping precomputed-mods program
+        from x2i_tpu.diffusion import denoise_flux
+        lat = denoise_flux(flux, flux_params, noise, prompt, pooled,
+                           sigmas, img_ids, txt_ids)
         lat = unpack_latents(lat, px, px)
         return vae.apply(vae_params, jnp.transpose(lat, (0, 2, 3, 1)),
                          method=vae.decode)

@@ -295,10 +295,19 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
     from x2i_tpu.models.templates import (expand_image_tokens,
                                           internvl2_5_prompt,
                                           task_instruction)
-    enc_params = internvl_params_from_hf(mllm_sd, mllm_cfg)
+    from dataclasses import replace as _replace
+
+    from x2i_tpu.convert.hf_config import internvl_config_from_dir
+    mllm_cfg = internvl_config_from_dir(mllm_path, mllm_cfg) or mllm_cfg
     tokenizer = AutoTokenizer.from_pretrained(mllm_path,
                                               trust_remote_code=True,
                                               use_fast=False)
+    # the reference resolves <IMG_CONTEXT> from the tokenizer, not the
+    # config (inference_internvl.py:117-119)
+    ctx_id = tokenizer.convert_tokens_to_ids("<IMG_CONTEXT>")
+    if ctx_id is not None and ctx_id >= 0:
+        mllm_cfg = _replace(mllm_cfg, img_context_token_id=ctx_id)
+    enc_params = internvl_params_from_hf(mllm_sd, mllm_cfg)
     encoder = InternVLEncoder(mllm_cfg)
 
     def encoder_fn(inputs):
@@ -316,7 +325,9 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
         tiles = None
         if images:
             tiles = np.concatenate(
-                [load_image_tiles(im) for im in images], axis=0)
+                [load_image_tiles(im,
+                                  input_size=mllm_cfg.vision.image_size)
+                 for im in images], axis=0)
             query = expand_image_tokens(
                 query, [tiles.shape[0]], mllm_cfg.num_image_token)
         enc = tokenizer(query, padding="max_length", max_length=512,
@@ -390,11 +401,14 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                                            QwenVisionConfig)
     from x2i_tpu.models.templates import qwen_chat_messages
 
-    is_3b = llm_cfg.hidden_size == 2048
-    full_cfg = Qwen2_5_VLConfig(
-        vision=QwenVisionConfig(out_hidden_size=llm_cfg.hidden_size),
-        llm=llm_cfg, mrope_section=(16, 24, 24))
-    enc_params = qwen2_5_vl_params_from_hf(mllm_sd, llm_cfg)
+    from x2i_tpu.convert.hf_config import qwenvl_config_from_dir
+    full_cfg = qwenvl_config_from_dir(mllm_path, llm_cfg) \
+        or Qwen2_5_VLConfig(
+            vision=QwenVisionConfig(out_hidden_size=llm_cfg.hidden_size),
+            llm=llm_cfg, mrope_section=(16, 24, 24))
+    llm_cfg = full_cfg.llm
+    enc_params = qwen2_5_vl_params_from_hf(
+        mllm_sd, llm_cfg, vision_depth=full_cfg.vision.depth)
     tokenizer = AutoTokenizer.from_pretrained(mllm_path,
                                               trust_remote_code=True)
     encoder = Qwen2_5_VLEncoder(full_cfg)
@@ -412,18 +426,27 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
         text = tokenizer.apply_chat_template(messages, tokenize=False,
                                              add_generation_prompt=True)
         vin = prepare_vision_inputs(
-            images or None, [video] if video is not None else None)
+            images or None, [video] if video is not None else None,
+            patch_size=full_cfg.vision.patch_size,
+            merge_size=full_cfg.vision.spatial_merge_size,
+            temporal_patch_size=full_cfg.vision.temporal_patch_size,
+            window_size=full_cfg.vision.window_size)
         if vin is not None:
             # expand each image/video pad token to its merged-token count
+            # expand per media type, restoring the matching pad token
+            # (HF Qwen2_5_VLProcessor semantics: video spans keep
+            # <|video_pad|>, which get_rope_index/embed_multimodal need
+            # to tell video grids from image grids)
             for grid in np.asarray(vin["image_grid_thw"]).reshape(-1, 3):
                 n = int(np.prod(grid)) // merge_tokens
                 text = text.replace("<|image_pad|>",
                                     "<|placeholder|>" * n, 1)
+            text = text.replace("<|placeholder|>", "<|image_pad|>")
             for grid in np.asarray(vin["video_grid_thw"]).reshape(-1, 3):
                 n = int(np.prod(grid)) // merge_tokens
                 text = text.replace("<|video_pad|>",
                                     "<|placeholder|>" * n, 1)
-            text = text.replace("<|placeholder|>", "<|image_pad|>")
+            text = text.replace("<|placeholder|>", "<|video_pad|>")
         enc = tokenizer(text, padding="max_length", max_length=512,
                         truncation=True)
         ids = np.asarray([enc["input_ids"]], np.int32)
@@ -433,6 +456,7 @@ def _qwenvl_encoder_fn(mllm_sd, llm_cfg, mllm_path):
             image_grid_thw=(vin or {}).get("image_grid_thw"),
             video_grid_thw=(vin or {}).get("video_grid_thw"),
             attention_mask=mask,
+            spatial_merge_size=full_cfg.vision.spatial_merge_size,
             image_token_id=full_cfg.image_token_id,
             video_token_id=full_cfg.video_token_id,
             vision_start_token_id=full_cfg.vision_start_token_id)
@@ -523,13 +547,30 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
     from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
     from x2i_tpu.models.templates import minicpm_omni_content
 
-    cfg = MiniCPMOConfig(llm=llm_cfg)
+    from x2i_tpu.convert.hf_config import minicpmo_config_from_dir
+    cfg = minicpmo_config_from_dir(mllm_path, llm_cfg) \
+        or MiniCPMOConfig(llm=llm_cfg)
     enc_params = minicpmo_params_from_hf(mllm_sd, cfg)
     tokenizer = AutoTokenizer.from_pretrained(mllm_path,
                                               trust_remote_code=True)
     encoder = MiniCPMOEncoder(cfg)
+    # slice scale comes from the processor file in the released layout
+    # (minicpm/preprocessor_config.json slice_config.scale_resolution)
+    scale_resolution = 448
+    _pp = os.path.join(mllm_path, "preprocessor_config.json")
+    if os.path.isfile(_pp):
+        with open(_pp) as f:
+            _ppd = json.load(f)
+        scale_resolution = (_ppd.get("slice_config") or _ppd).get(
+            "scale_resolution", 448)
 
-    def encoder_fn(inputs):
+    unk_id = tokenizer.convert_tokens_to_ids("<unk>")
+
+    def _prep(inputs):
+        """Host-side request prep: -> dict with ids (1,512), mask, the
+        request's PIL images (slicing is deferred so a BATCH of requests
+        shares one prepare_minicpm_vision call and therefore one padded
+        slice tensor), per-media <unk> spans, and raw mel chunks."""
         if inputs.get("use_answer"):
             raise ValueError("--use_answer is a Qwen2.5-VL feature "
                              "(inference_qwenvl.py:121-132); the minicpm "
@@ -542,8 +583,6 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
         content = minicpm_omni_content(
             inputs.get("prompt"), num_images=len(images),
             num_audios=1 if audio is not None else 0)
-        vision = prepare_minicpm_vision(images, cfg.llm.hidden_size,
-                                        max_slice_nums=1)
         # chunk_input=True placeholder spans (inference_minicpm.py:166):
         # one <audio>...</audio> pair per 1s chunk of LLM tokens
         aud_spans = (audio_placeholder_spans(len(audio))
@@ -563,79 +602,137 @@ def _minicpm_encoder_fn(mllm_sd, llm_cfg, mllm_path):
                         truncation=True)
         ids = np.asarray([enc["input_ids"]], np.int32)
         mask = np.asarray([enc["attention_mask"]], bool)
-        unk = tokenizer.convert_tokens_to_ids("<unk>")
         # bounds: runs of <unk> in order — images first, then audio
         spans = []
         in_run = False
         for i, t in enumerate(ids[0].tolist()):
-            if t == unk and not in_run:
+            if t == unk_id and not in_run:
                 start, in_run = i, True
-            elif t != unk and in_run:
+            elif t != unk_id and in_run:
                 spans.append((start, i))
                 in_run = False
-        n_img_spans = vision["num_slices"] if vision else 0
-        img_map = bounds_to_map([spans[:n_img_spans]], ids.shape[1])
-        vdict = adict = None
-        audio_map = None
+        mels = lens = None
+        if audio is not None:
+            # >30s audio becomes several 30s mel chunks
+            # (processing_minicpmo.py:183-191)
+            mels, lens = chunk_audio_mels(np.asarray(audio))
+        # max_slice_nums=1 -> one slice per image; spans[:n_images] are
+        # the image spans, the rest audio
+        return {"ids": ids, "mask": mask, "images": images,
+                "n_img_spans": len(images), "spans": spans,
+                "mels": mels, "mel_lens": lens,
+                "has_audio": audio is not None}
+
+    def _assemble(preps):
+        """B prepped requests -> ONE encoder.apply: all requests' image
+        slices ride one vision-tower call (flat rows in request order)
+        and all requests' mel chunks one whisper call (each request's
+        rows offset by its global chunk base). bounds_to_map already
+        walks spans per batch row, so the (B, 512) scatter maps come out
+        aligned. Single-request encodes are the B=1 case of this same
+        path (batched == serial pinned in tests/test_serve.py)."""
+        ids = np.concatenate([p["ids"] for p in preps], axis=0)
+        mask = np.concatenate([p["mask"] for p in preps], axis=0)
+        S = ids.shape[1]
+        all_images = [im for p in preps for im in p["images"]]
+        vision = prepare_minicpm_vision(
+            all_images, cfg.llm.hidden_size, max_slice_nums=1,
+            patch_size=cfg.vision.patch_size,
+            num_patches_per_side=cfg.vision.num_patches_per_side,
+            max_size=cfg.vision.num_patches_per_side,
+            scale_resolution=scale_resolution)
+        img_map = bounds_to_map(
+            [p["spans"][:p["n_img_spans"]] for p in preps], S)
+        vdict = adict = audio_map = None
         if vision:
             vdict = {k: jnp.asarray(vision[k]) for k in
-                     ("patches", "position_ids", "patch_mask", "pos_embed")}
-        if audio is not None:
-            # >30s audio becomes several 30s mel chunks, each a batch row
-            # through the whisper encoder (processing_minicpmo.py:183-191);
-            # embeddings of all chunks concatenate, skipping per-chunk
-            # pad rows, and fill the placeholder spans in order
-            # (get_omni_embedding chunk_input branch, :585-599)
-            mels, lens = chunk_audio_mels(np.asarray(audio))
+                     ("patches", "position_ids", "patch_mask",
+                      "pos_embed")}
+        if any(p["has_audio"] for p in preps):
+            # all requests' 30s mel chunks pad to one (A_total, mels, T)
+            # whisper batch; per-chunk embeddings concatenate skipping
+            # pad rows and fill each request's placeholder spans in order
+            # (get_omni_embedding chunk_input branch,
+            # modeling_minicpmo.py:585-599). Padding T across requests is
+            # inert: padded mel frames are masked keys, and row indices
+            # below re-derive from the common conv length.
+            mel_list = [p["mels"] for p in preps if p["has_audio"]]
+            len_list = [p["mel_lens"] for p in preps if p["has_audio"]]
+            t_max = max(m.shape[2] for m in mel_list)
+            mels = np.zeros((sum(m.shape[0] for m in mel_list),
+                             mel_list[0].shape[1], t_max), np.float32)
+            row0 = 0
+            for m in mel_list:
+                mels[row0:row0 + m.shape[0], :, :m.shape[2]] = m
+                row0 += m.shape[0]
+            lens = np.concatenate(len_list)
             conv_lens = (lens - 1) // 2 + 1
-            t_conv = (mels.shape[2] - 1) // 2 + 1
+            t_conv = (t_max - 1) // 2 + 1
             # bug-compatible parity: the reference's whisper padding mask
             # compares CONV-frame indices against MEL-frame lengths
-            # (modeling_minicpmo.py:497-505 seq_range >= audio_feature_lens
-            # where seq_range spans (max_mel-1)//2+1 conv frames), so pad
-            # conv frames below the mel length stay attendable; the model
-            # was trained with this, so we replicate it exactly
+            # (modeling_minicpmo.py:497-505), so pad conv frames below the
+            # mel length stay attendable; the model was trained with
+            # this, so we replicate it exactly
             # (pinned in tests/test_minicpm_audio_chunks.py)
             frame_mask = np.arange(t_conv)[None] < lens[:, None]
             pooled_pad = t_conv // 2
-            rows = np.concatenate([
-                k * pooled_pad + np.arange((c - 2) // 2 + 1)
-                for k, c in enumerate(conv_lens)])
             # generate runs whisper with 1s-chunked attention
             # (modeling_minicpmo.py:808-811, audio_chunk_length=1.0)
             bias = chunk_bias(t_conv, chunk_frames=50)
             adict = {"mel": jnp.asarray(mels),
                      "frame_mask": jnp.asarray(frame_mask),
                      "attn_bias": jnp.asarray(bias)}
-            aud_span_total = sum(e - s for s, e in spans[n_img_spans:])
-            audio_map = bounds_to_map([spans[n_img_spans:]], ids.shape[1],
-                                      rows=rows[:aud_span_total])
+            rows_parts = []
+            chunk_base = 0
+            for p in preps:
+                if not p["has_audio"]:
+                    continue
+                n_chunks = p["mels"].shape[0]
+                cl = conv_lens[chunk_base:chunk_base + n_chunks]
+                rows = np.concatenate([
+                    (chunk_base + k) * pooled_pad
+                    + np.arange((c - 2) // 2 + 1)
+                    for k, c in enumerate(cl)])
+                span_total = sum(e - s for s, e in
+                                 p["spans"][p["n_img_spans"]:])
+                rows_parts.append(rows[:span_total])
+                chunk_base += n_chunks
+            audio_map = bounds_to_map(
+                [p["spans"][p["n_img_spans"]:] for p in preps], S,
+                rows=np.concatenate(rows_parts))
         return encoder.apply({"params": enc_params}, jnp.asarray(ids),
-                             jnp.asarray(mask),
-                             vdict, adict,
+                             jnp.asarray(mask), vdict, adict,
                              jnp.asarray(img_map) if vision else None,
-                             jnp.asarray(audio_map) if audio is not None
-                             else None)
+                             jnp.asarray(audio_map)
+                             if audio_map is not None else None)
+
+    def encoder_fn(inputs):
+        return _assemble([_prep(inputs)])
 
     def encoder_batch_fn(inputs_list):
-        """One padded 512-token prefill for text request lists; omni
-        requests (image/video/audio) fall back to serial encodes."""
-        if any(i.get("images") or i.get("video") or i.get("audio")
-               or i.get("use_answer") for i in inputs_list):
-            return jnp.concatenate(
-                [encoder_fn(i) for i in inputs_list], axis=0)
-        texts = [tokenizer.apply_chat_template(
-            [{"role": "user",
-              "content": minicpm_omni_content(i.get("prompt"))}],
-            tokenize=False, add_generation_prompt=True)
-            for i in inputs_list]
-        enc = tokenizer(texts, padding="max_length", max_length=512,
-                        truncation=True)
-        return encoder.apply(
-            {"params": enc_params},
-            jnp.asarray(enc["input_ids"], jnp.int32),
-            jnp.asarray(enc["attention_mask"], bool),
-            None, None, None, None)
+        """ONE padded 512-token prefill + one vision-tower call + one
+        whisper call for the whole request list — text, image, video, and
+        audio requests mixed. Audio is bucketable because chunking is
+        static per chunk count (processing_minicpmo.py:183-191). Guard:
+        if the 512 budget truncated any request's placeholder spans, the
+        batch falls back to serial (span/feature alignment would need
+        per-request repair). The reference encodes every request alone
+        (one CLI run each)."""
+        preps = [_prep(i) for i in inputs_list]
+        # truncation guard: every request must carry its full media
+        # complement of <unk> positions (n_images * query_num image
+        # tokens + every audio chunk span at full length); a shortened
+        # image span would shift the global slice-row mapping
+        for p, inp in zip(preps, inputs_list):
+            aud = inp.get("audio")
+            expected = p["n_img_spans"] * cfg.query_num + (
+                sum(audio_placeholder_spans(len(aud)))
+                if aud is not None else 0)
+            got = sum(e - s for s, e in p["spans"])
+            if got != expected:
+                return jnp.concatenate(
+                    [encoder_fn(i) for i in inputs_list], axis=0)
+        return _assemble(preps)
 
     encoder_fn.batch = encoder_batch_fn
     return encoder_fn
@@ -655,14 +752,26 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
     from x2i_tpu.ops.quant import quantize_tree
     from x2i_tpu.pipeline import X2IPipeline
 
+    from x2i_tpu.convert.hf_config import (flux_config_from_dir,
+                                           proj_config_from_sd,
+                                           scheduler_config_from_dir,
+                                           vae_config_from_dir)
+
     entry = MODEL_REGISTRY[model]
-    flux_cfg: FluxConfig = entry["flux"]
+    # architecture follows the checkpoint's own config files where present
+    # (the reference reads them via from_pretrained,
+    # inference_minicpm.py:51-77); registry entries are the fallback
+    flux_cfg: FluxConfig = flux_config_from_dir(
+        flux_path, base=entry["flux"]) or entry["flux"]
     if quantized:
         flux_cfg = FluxConfig(**{**flux_cfg.__dict__, "quantized": quantized})
-    proj_cfg: ProjConfig = entry["proj"]
     mllm_cfg = entry["mllm"]
-    sched_cfg: SchedulerConfig = entry["scheduler"]
-    vae_cfg = VAEConfig()
+    sched_cfg: SchedulerConfig = scheduler_config_from_dir(flux_path) \
+        or entry["scheduler"]
+    vae_cfg = vae_config_from_dir(flux_path) or VAEConfig()
+    proj_sd = load_torch_bin(proj_path)
+    proj_cfg: ProjConfig = proj_config_from_sd(proj_sd,
+                                               base=entry["proj"])
 
     flux_sd = load_safetensors_dir(os.path.join(flux_path, "transformer"))
     flux_params = flux_params_from_diffusers(flux_sd, flux_cfg)
@@ -675,8 +784,8 @@ def build_pipeline_from_checkpoints(model: str, flux_path: str,
     vae_params = vae_params_from_diffusers(vae_sd, vae_cfg)
     del vae_sd
 
-    proj_params = proj_params_from_reference(load_torch_bin(proj_path),
-                                             proj_cfg)
+    proj_params = proj_params_from_reference(proj_sd, proj_cfg)
+    del proj_sd
     mllm_sd = load_safetensors_dir(mllm_path)
     if "internvl" in model:
         encoder_fn = _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path)

@@ -9,4 +9,5 @@ from x2i_tpu.diffusion.sampling import (
     pack_latents,
     unpack_latents,
     denoise,
+    denoise_flux,
 )

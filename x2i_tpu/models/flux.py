@@ -447,7 +447,7 @@ class FluxTransformer2D(nn.Module):
     """Top-level DiT (lightcontrol_flux.py:208-553)."""
     cfg: FluxConfig
 
-    def _precompute_mods_scans(self, temb, nT: int, batch: int):
+    def _precompute_mods_scans(self, temb, nT: int):
         """mods_only tail: run ONLY the per-block adaLN denses over the
         (T*B, dim) all-steps temb, through the same named scans (so the
         same stacked params are read), and return per-step scan-xs mods.
@@ -556,8 +556,7 @@ class FluxTransformer2D(nn.Module):
                 .astype(cfg.dtype))
 
         if mods_only:
-            return self._precompute_mods_scans(temb, timestep.shape[0],
-                                               pooled_projections.shape[0])
+            return self._precompute_mods_scans(temb, timestep.shape[0])
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         if cfg.rope_layout == "half":
