@@ -102,6 +102,24 @@ def test_qwenvl_batched_encode_through_prep(family_pipeline):
     np.testing.assert_allclose(batched, serial, atol=2e-2, rtol=2e-2)
 
 
+def test_internvl_batched_encode_matches_serial(family_pipeline):
+    """Mixed text/image batch through the internvl encoder_batch_fn
+    (real tokenizer + tiling from the checkpoint dir) equals serial."""
+    import jax.numpy as jnp
+    pipe, _ = family_pipeline("internvl")
+    reqs = [
+        {"task": "imagetext2image", "prompt": "p0", "images": [_img(2)]},
+        {"task": "text2image", "prompt": "text only"},
+        {"task": "imagetext2image", "prompt": "p2", "images": [_img(4)]},
+    ]
+    batch_fn = pipe.encoder_batch_fn
+    batched = np.asarray(batch_fn(reqs), np.float32)
+    serial = np.asarray(
+        jnp.concatenate([batch_fn([q]) for q in reqs], axis=0), np.float32)
+    assert batched.shape[0] == 3
+    np.testing.assert_allclose(batched, serial, atol=2e-2, rtol=2e-2)
+
+
 def test_minicpm_batched_omni_encode_matches_serial(family_pipeline):
     """Mixed text/image/audio batch through the minicpm
     encoder_batch_fn — ONE prefill + one vision call + one whisper call —

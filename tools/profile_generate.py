@@ -195,10 +195,12 @@ def parse_trace(trace_dir: str, fusion_fam=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    # defaults = bench.py's shipping configuration (X2I_BENCH_* defaults):
+    # profiles measure the program the headline number runs
     ap.add_argument("--px", type=int, default=1024)
     ap.add_argument("--quant", default="w8a8")
-    ap.add_argument("--rope", default="interleaved")
-    ap.add_argument("--fused_glue", type=int, default=0)
+    ap.add_argument("--rope", default="half")
+    ap.add_argument("--fused_glue", type=int, default=1)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--family", default=None,
                     help="also print the top ops of ONE family (substring "

@@ -363,7 +363,9 @@ def _internvl_encoder_fn(mllm_sd, mllm_cfg, mllm_path):
             tiles = None
             if images:
                 tiles = np.concatenate(
-                    [load_image_tiles(im) for im in images], axis=0)
+                    [load_image_tiles(
+                        im, input_size=mllm_cfg.vision.image_size)
+                     for im in images], axis=0)
                 query = expand_image_tokens(
                     query, [tiles.shape[0]], mllm_cfg.num_image_token)
             queries.append(query)
