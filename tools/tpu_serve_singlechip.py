@@ -65,6 +65,9 @@ def main():
     if os.environ.get("X2I_SERVE_VISION", "0") == "1":
         # image-conditioned encoder batching A/B only (no DiT resident)
         return _vision_encode_ab(s_txt)
+    if os.environ.get("X2I_SERVE_AUDIO", "0") == "1":
+        # audio-conditioned encoder batching A/B only (no DiT resident)
+        return _audio_encode_ab(s_txt)
 
     # --- encoder, int8. Default: the InternVL2.5-1B LM (Qwen2.5-0.5B
     # shape = Qwen2Config defaults) — 0.9 GiB int8, the encoder family
@@ -185,6 +188,142 @@ def main():
         print(f"encoder batch={bsz}: batched {bt*1000:.0f} ms vs serial "
               f"{st*1000:.0f} ms -> {st/bt:.2f}x "
               f"({bsz/bt:.2f} vs {bsz/st:.2f} enc-req/s)", flush=True)
+
+
+def _audio_encode_ab(s_txt: int):
+    """Audio-conditioned serving encode A/B (X2I_SERVE_AUDIO=1): B
+    audio+text requests through ONE whisper call + ONE (B, S) prefill
+    (convert/load.py minicpm encoder_batch_fn's batched path) vs B
+    serial encodes. Flagship MiniCPM-o shapes: whisper-medium apm
+    (bf16) + w8a8 Qwen2-7B-shape LM. Audio requests are bucketable
+    because chunking is static per chunk count
+    (processing_minicpmo.py:183-191); here each request carries one
+    ~10 s clip (one mel chunk, 250 conditioning tokens)."""
+    from dataclasses import replace as _rep
+
+    from tools._bench_common import pattern_params
+    from x2i_tpu.core.config import ProjConfig, _minicpm_llm
+    from x2i_tpu.data.minicpm_vision import (audio_placeholder_spans,
+                                             bounds_to_map,
+                                             chunk_audio_mels)
+    from x2i_tpu.models.minicpmo import MiniCPMOConfig, MiniCPMOEncoder
+    from x2i_tpu.models.proj import Proj
+    from x2i_tpu.models.whisper_enc import chunk_bias
+
+    lm_quant = os.environ.get("X2I_SERVE_LM_QUANT", "w8a8")
+    lm_cfg = _rep(_minicpm_llm(), quantized=lm_quant)
+    cfg = MiniCPMOConfig(llm=lm_cfg)
+    enc = MiniCPMOEncoder(cfg)
+    bsz = int(os.environ.get("X2I_SERVE_BATCH", "4"))
+
+    rng = np.random.default_rng(0)
+    secs = 10
+    rows = []
+    for b in range(bsz):
+        audio = (rng.standard_normal(secs * 16000) * 0.1
+                 ).astype(np.float32)
+        mels, lens = chunk_audio_mels(audio)
+        spans = audio_placeholder_spans(len(audio))
+        toks = list(rng.integers(5, 1000, 40))
+        ids_r, bounds, pos = list(toks), [], len(toks)
+        for n in spans:
+            bounds.append((pos + 1, pos + 1 + n))
+            ids_r += [3] + [0] * n + [4]        # <audio> unk* </audio>
+            pos += n + 2
+        mask = [1] * len(ids_r) + [0] * (s_txt - len(ids_r))
+        rows.append((np.asarray([ids_r + [0] * (s_txt - len(ids_r))],
+                                np.int32),
+                     np.asarray([mask], np.int64), mels, lens, bounds))
+
+    def adict_and_map(mel_list, len_list, bounds_list, S):
+        t_max = max(m.shape[2] for m in mel_list)
+        mels = np.zeros((sum(m.shape[0] for m in mel_list), 80, t_max),
+                        np.float32)
+        r0 = 0
+        for m in mel_list:
+            mels[r0:r0 + m.shape[0], :, :m.shape[2]] = m
+            r0 += m.shape[0]
+        lens = np.concatenate(len_list)
+        conv_lens = (lens - 1) // 2 + 1
+        t_conv = (t_max - 1) // 2 + 1
+        frame_mask = np.arange(t_conv)[None] < lens[:, None]
+        pooled_pad = t_conv // 2
+        rows_parts, base = [], 0
+        for m, ln, bounds in zip(mel_list, len_list, bounds_list):
+            cl = (np.asarray(ln) - 1) // 2 + 1
+            rr = np.concatenate([(base + k) * pooled_pad
+                                 + np.arange((c - 2) // 2 + 1)
+                                 for k, c in enumerate(cl)])
+            rows_parts.append(rr[:sum(e - s for s, e in bounds)])
+            base += m.shape[0]
+        adict = {"mel": jnp.asarray(mels),
+                 "frame_mask": jnp.asarray(frame_mask),
+                 "attn_bias": jnp.asarray(chunk_bias(t_conv,
+                                                     chunk_frames=50))}
+        amap = bounds_to_map(bounds_list, S,
+                             rows=np.concatenate(rows_parts))
+        return adict, jnp.asarray(amap)
+
+    proj_cfg = ProjConfig(in_channels=lm_cfg.num_layers_with_embedding,
+                          input_dim=lm_cfg.hidden_size)
+    proj = Proj(proj_cfg)
+    proj_params = proj.init(
+        jax.random.key(0),
+        jnp.zeros((1, proj_cfg.in_channels, s_txt, proj_cfg.input_dim),
+                  jnp.bfloat16))
+
+    a0, m0 = adict_and_map([rows[0][2]], [rows[0][3]], [rows[0][4]],
+                           s_txt)
+    enc_params = pattern_params(enc, jnp.asarray(rows[0][0]),
+                                jnp.asarray(rows[0][1], bool),
+                                None, a0, None, m0)
+    n_bytes = sum(x.size * x.dtype.itemsize
+                  for x in jax.tree_util.tree_leaves(enc_params))
+    print(f"omni encoder params ({lm_quant} LM + bf16 apm): "
+          f"{n_bytes/2**30:.2f} GiB", flush=True)
+
+    def encode(enc_params, proj_params, ids, mask, adict, amap):
+        states = enc.apply(enc_params, ids, mask, None, adict, None,
+                           amap)
+        return proj.apply(proj_params, states)
+
+    ids_b = np.concatenate([r[0] for r in rows], 0)
+    mask_b = np.concatenate([r[1] for r in rows], 0)
+    ab, mb = adict_and_map([r[2] for r in rows], [r[3] for r in rows],
+                           [r[4] for r in rows], s_txt)
+    t0 = time.perf_counter()
+    args_b = (enc_params, proj_params, jnp.asarray(ids_b),
+              jnp.asarray(mask_b, bool), ab, mb)
+    jenc_b = jax.jit(encode).lower(*args_b).compile()
+    args_s = []
+    for r in rows:
+        ar, mr = adict_and_map([r[2]], [r[3]], [r[4]], s_txt)
+        args_s.append((enc_params, proj_params, jnp.asarray(r[0]),
+                       jnp.asarray(r[1], bool), ar, mr))
+    jenc_s = jax.jit(encode).lower(*args_s[0]).compile()
+    print(f"compile: {time.perf_counter()-t0:.0f}s", flush=True)
+
+    def drain(out):
+        return float(np.asarray(
+            jax.tree_util.tree_leaves(out)[0][:1, :1], np.float32)[0, 0])
+
+    drain(jenc_b(*args_b))
+    drain(jenc_s(*args_s[0]))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jenc_b(*args_b)
+    drain(out)
+    bt = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for a in args_s:
+            out = jenc_s(*a)
+    drain(out)
+    st = (time.perf_counter() - t0) / iters
+    print(f"audio-conditioned encode batch={bsz}: batched {bt*1000:.0f} ms"
+          f" vs serial {st*1000:.0f} ms -> {st/bt:.2f}x "
+          f"({bsz/bt:.2f} vs {bsz/st:.2f} enc-req/s)", flush=True)
 
 
 def _vision_encode_ab(s_txt: int):
