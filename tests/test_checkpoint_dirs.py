@@ -182,6 +182,40 @@ def test_cli_video2image_from_dirs(family_pipeline, tmp_path):
     assert os.path.exists(out)
 
 
+def test_convert_cli_from_dirs(family_pipeline, tmp_path):
+    """x2i-convert over the fixture dirs: every artifact kind converts
+    (architecture from the dir's own config files) and loads back via
+    load_native with matching leaf count."""
+    import jax
+    from x2i_tpu.convert.cli import load_native, main
+    _, (flux, mllm, proj, model) = family_pipeline("qwenvl")
+    for kind, src in (("flux", flux), ("vae", flux), ("mllm", mllm),
+                      ("proj", proj)):
+        dst = str(tmp_path / kind)
+        rc = main([kind, "--src", src, "--dst", dst, "--model", model])
+        assert rc == 0
+        tree = load_native(dst)
+        assert len(jax.tree_util.tree_leaves(tree)) > 3
+
+
+def test_multiturn_session_from_checkpoint_dirs(family_pipeline):
+    """build_session_from_checkpoints over the fixture dirs: two real
+    turns (chat template + greedy decode with hidden export + proj +
+    generate), history accumulates, images decode."""
+    from x2i_tpu.multiturn import build_session_from_checkpoints
+    _, (flux, mllm, proj, model) = family_pipeline("qwenvl")
+    sess = build_session_from_checkpoints(
+        model=model, flux_path=flux, mllm_path=mllm, proj_path=proj,
+        num_steps=2, height=64, width=64, max_new_tokens=4)
+    a1, img1 = sess.turn("draw a cat")
+    a2, img2 = sess.turn("make it orange")
+    assert isinstance(a1, str) and isinstance(a2, str)
+    assert len(sess.history) == 2
+    assert sess.history[0].user == "draw a cat"
+    assert np.asarray(img1).shape == (1, 64, 64, 3)
+    assert np.asarray(img2).shape == (1, 64, 64, 3)
+
+
 def test_proj_config_inferred_from_sd(tmp_path):
     """proj_config_from_sd recovers the architecture from shapes alone,
     for both the cnn and cha_scale variants (utils/proj.py:35-53)."""

@@ -47,16 +47,21 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from x2i_tpu.core.config import MODEL_REGISTRY, VAEConfig
+    from x2i_tpu.convert import hf_config as H
     from x2i_tpu.convert import load as L
     from x2i_tpu.convert import torch_models as T
 
+    # like build_pipeline_from_checkpoints: the directory's own config
+    # files win, registry entries are the fallback
     entry = MODEL_REGISTRY[args.model]
     if args.kind == "flux":
         sd = L.load_safetensors_dir(os.path.join(args.src, "transformer")
                                     if os.path.isdir(os.path.join(
                                         args.src, "transformer"))
                                     else args.src)
-        tree = T.flux_params_from_diffusers(sd, entry["flux"])
+        flux_cfg = H.flux_config_from_dir(args.src, base=entry["flux"]) \
+            or entry["flux"]
+        tree = T.flux_params_from_diffusers(sd, flux_cfg)
         if args.quantize:
             from x2i_tpu.ops.quant import quantize_tree
             tree = quantize_tree(tree, mode=args.quantize)
@@ -64,20 +69,28 @@ def main(argv=None) -> int:
         sd = L.load_safetensors_dir(os.path.join(args.src, "vae")
                                     if os.path.isdir(os.path.join(
                                         args.src, "vae")) else args.src)
-        tree = L.vae_params_from_diffusers(sd, VAEConfig())
+        tree = L.vae_params_from_diffusers(
+            sd, H.vae_config_from_dir(args.src) or VAEConfig())
     elif args.kind == "mllm":
         sd = L.load_safetensors_dir(args.src)
         if "internvl" in args.model:
-            tree = L.internvl_params_from_hf(sd, entry["mllm"])
+            cfg = H.internvl_config_from_dir(args.src, entry["mllm"]) \
+                or entry["mllm"]
+            tree = L.internvl_params_from_hf(sd, cfg)
         elif "qwenvl" in args.model:
-            tree = L.qwen2_5_vl_params_from_hf(sd, entry["mllm"])
+            full = H.qwenvl_config_from_dir(args.src, entry["mllm"])
+            tree = L.qwen2_5_vl_params_from_hf(
+                sd, full.llm if full else entry["mllm"],
+                vision_depth=full.vision.depth if full else 32)
         else:
             from x2i_tpu.models.minicpmo import MiniCPMOConfig
-            tree = L.minicpmo_params_from_hf(
-                sd, MiniCPMOConfig(llm=entry["mllm"]))
+            cfg = H.minicpmo_config_from_dir(args.src, entry["mllm"]) \
+                or MiniCPMOConfig(llm=entry["mllm"])
+            tree = L.minicpmo_params_from_hf(sd, cfg)
     elif args.kind == "proj":
-        tree = T.proj_params_from_reference(L.load_torch_bin(args.src),
-                                            entry["proj"])
+        proj_sd = L.load_torch_bin(args.src)
+        tree = T.proj_params_from_reference(
+            proj_sd, H.proj_config_from_sd(proj_sd, base=entry["proj"]))
     elif args.kind == "t5":
         from x2i_tpu.models.t5 import T5Config
         tree = T.t5_params_from_hf(L.load_safetensors_dir(args.src),
