@@ -137,12 +137,17 @@ def test_minicpm_batched_omni_encode_matches_serial(family_pipeline):
         {"task": "x2image", "prompt": "img+longer audio",
          "images": [_img(9)],
          "audio": (r.standard_normal(3 * 16000) * 0.1).astype(np.float32)},
+        # >30s: TWO mel chunks -> ~800 placeholder tokens, over the 512
+        # budget — exercises the truncation guard (whole batch falls
+        # back to serial, matching the reference's per-request behavior)
+        {"task": "audio2image",
+         "audio": (r.standard_normal(32 * 16000) * 0.1).astype(np.float32)},
     ]
     batch_fn = pipe.encoder_batch_fn
     batched = np.asarray(batch_fn(reqs), np.float32)
     serial = np.asarray(
         jnp.concatenate([batch_fn([q]) for q in reqs], axis=0), np.float32)
-    assert batched.shape[0] == 4
+    assert batched.shape[0] == 5
     np.testing.assert_allclose(batched, serial, atol=2e-2, rtol=2e-2)
 
 
@@ -161,6 +166,21 @@ def test_cli_text2image_from_dirs(family_pipeline, tmp_path):
     from PIL import Image
     im = Image.open(out)
     assert im.size == (64, 64)
+
+
+def test_cli_quantize_flag(family_pipeline, tmp_path):
+    """--quantize w8a8 builds the int8-activation pipeline end to end
+    (the serving default is w8; flagship single-chip uses w4)."""
+    from x2i_tpu.cli import main
+    _, (flux, mllm, proj, model) = family_pipeline("internvl")
+    out = str(tmp_path / "q.png")
+    rc = main(["--task", "text2image", "--prompt", "a pier",
+               "--flux_path", flux, "--mllm_path", mllm,
+               "--proj_path", proj, "--model", model,
+               "--quantize", "w8a8",
+               "--num_steps", "2", "--height", "64", "--width", "64",
+               "--output", out])
+    assert rc in (0, None) and os.path.exists(out)
 
 
 def test_cli_video2image_from_dirs(family_pipeline, tmp_path):

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", choices=("tiny",), default=None,
                    help="run with random weights at the given scale "
                         "(no checkpoints needed)")
+    p.add_argument("--quantize", choices=("none", "w8", "w8a8", "w4"),
+                   default="w8",
+                   help="DiT weight quantization for single-chip "
+                        "serving: w8 near-lossless (default), w8a8 "
+                        "fastest, w4 smallest (fits next to a 7B "
+                        "encoder), none = bf16 (needs >16 GB)")
     p.add_argument("--output", type=str, default="output.png")
     return p
 
@@ -143,7 +149,8 @@ def main(argv=None) -> int:
             model=args.model, flux_path=args.flux_path,
             mllm_path=args.mllm_path, proj_path=args.proj_path,
             num_steps=args.num_steps, height=args.height, width=args.width,
-            seed=args.seed)
+            seed=args.seed,
+            quantized=False if args.quantize == "none" else args.quantize)
 
     images = audio = video = None
     if args.image:
