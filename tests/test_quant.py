@@ -361,3 +361,117 @@ def test_w4_awq_dense_and_dequantize_tree_agree(rng):
     eff = dequantize_tree({"q": tree})["q"]["kernel"]
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ eff,
                                rtol=3e-5, atol=3e-5)
+
+
+# --- w4a8 (int4 storage, int8 MXU compute) ---------------------------------
+
+
+def test_w4a8_quantize_kernel_shapes_and_error(rng):
+    """Double quantization: codes*m reconstruct within the snapped group
+    step; mscale stays in [1, 15]."""
+    from x2i_tpu.ops.quant import (_w4a8_weight_int8, quantize_kernel_w4a8)
+
+    w = rng.standard_normal((256, 24)).astype(np.float32)
+    p, m, s = quantize_kernel_w4a8(w, group=128)
+    assert p.shape == (128, 24) and m.shape == (2, 24) and s.shape == (24,)
+    assert m.dtype == np.int8 and 1 <= m.min() and m.max() <= 15
+    w8 = np.asarray(_w4a8_weight_int8(jnp.asarray(p), jnp.asarray(m)))
+    assert np.abs(w8).max() <= 105            # 7 * 15
+    deq = w8.astype(np.float32) * s[None, :]
+    # per-(group, out) realized step = m * s; error <= half a step
+    step = np.repeat(m.astype(np.float32) * s[None, :], 128, axis=0)
+    assert np.all(np.abs(deq - w) <= step / 2 + 1e-6)
+
+
+def test_w4a8_quantize_kernel_stacked(rng):
+    from x2i_tpu.ops.quant import quantize_kernel_w4a8
+
+    w = rng.standard_normal((3, 256, 16)).astype(np.float32)
+    p, m, s = quantize_kernel_w4a8(w, group=128)
+    assert p.shape == (3, 128, 16) and m.shape == (3, 2, 16) \
+        and s.shape == (3, 16)
+
+
+def test_w4a8_matmul_matches_reference(rng):
+    """w4a8_matmul == numpy: per-token int8 activation quant, int8 dot
+    against code4*m, rescale."""
+    from x2i_tpu.ops.quant import (_w4a8_weight_int8, quantize_kernel_w4a8,
+                                   w4a8_matmul)
+
+    w = rng.standard_normal((256, 24)).astype(np.float32)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    p, m, s = quantize_kernel_w4a8(w, group=128)
+    got = np.asarray(w4a8_matmul(jnp.asarray(x), jnp.asarray(p),
+                                 jnp.asarray(m), jnp.asarray(s)),
+                     np.float32)
+    a_scale = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-6) / 127.0
+    xq = np.clip(np.round(x / a_scale), -127, 127).astype(np.int32)
+    w8 = np.asarray(_w4a8_weight_int8(jnp.asarray(p), jnp.asarray(m)),
+                    np.int32)
+    want = (xq @ w8).astype(np.float32) * a_scale * s[None, :]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_dense_prequant_chunks_match(rng):
+    """QuantDense w4a8: a [attn | mlp]-style chunked prequant input equals
+    the unchunked matmul on the concatenated activation."""
+    from x2i_tpu.ops.quant import QuantDense, quantize_kernel_w4a8
+
+    inn, out, B = 512, 24, 4
+    w = rng.standard_normal((inn, out)).astype(np.float32)
+    x = rng.standard_normal((B, inn)).astype(np.float32)
+    p, m, s = quantize_kernel_w4a8(w, group=128)
+    params = {"params": {"pkernel": jnp.asarray(p), "mscale": jnp.asarray(m),
+                         "scale": jnp.asarray(s),
+                         "bias": jnp.zeros((out,), jnp.bfloat16)}}
+    layer = QuantDense(out, mode="w4a8", dtype=jnp.float32)
+    full = np.asarray(layer.apply(params, jnp.asarray(x)), np.float32)
+
+    # prequantize per chunk exactly like the fused glue kernels do
+    def prequant(xc):
+        a = np.maximum(np.abs(xc).max(-1, keepdims=True), 1e-6) / 127.0
+        q = np.clip(np.round(xc / a), -127, 127).astype(np.int8)
+        return jnp.asarray(q), jnp.asarray(a.astype(np.float32))
+
+    chunked = np.asarray(layer.apply(
+        params, [prequant(x[:, :256]), prequant(x[:, 256:])]), np.float32)
+    # chunked quantization sees per-chunk amax -> small rescale delta
+    np.testing.assert_allclose(chunked, full, rtol=0.05, atol=0.5)
+
+
+def test_w4a8_flux_matches_dequantized_fp(rng):
+    """The w4a8 FLUX == fp model on the DEQUANTIZED weights (plumbing
+    exactness up to int8 activation rounding), and quantize_tree/
+    dequantize_tree round-trip the new param layout."""
+    from x2i_tpu.ops.quant import dequantize_tree
+
+    cfg = tiny_flux_config()
+    qcfg = tiny_flux_config(quantized="w4a8")
+    B, GRID, S_TXT = 1, 8, 8
+    s_img = (GRID // 2) ** 2
+    hidden = jnp.asarray(rng.standard_normal((B, s_img, cfg.in_channels)),
+                         jnp.float32)
+    encoder = jnp.asarray(
+        rng.standard_normal((B, S_TXT, cfg.joint_attention_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((B, cfg.pooled_projection_dim)), jnp.float32)
+    t = jnp.full((B,), 0.5)
+    img_ids = prepare_latent_image_ids(GRID, GRID)
+    txt_ids = jnp.zeros((S_TXT, 3))
+
+    model = FluxTransformer2D(cfg)
+    params = model.init(jax.random.key(0), hidden, encoder, pooled, t,
+                        img_ids, txt_ids)
+    qtree = quantize_tree(params["params"], mode="w4a8")
+    qmodel = FluxTransformer2D(qcfg)
+    got = qmodel.apply({"params": qtree}, hidden, encoder, pooled, t,
+                       img_ids, txt_ids)
+    deq = model.apply({"params": dequantize_tree(qtree)}, hidden, encoder,
+                      pooled, t, img_ids, txt_ids)
+    want, got = np.asarray(deq, np.float32), np.asarray(got, np.float32)
+    # int8 activation rounding separates the two (same class as w8a8)
+    err = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
+    assert err.mean() < 0.05, err.mean()
+    a = np.asarray(model.apply(params, hidden, encoder, pooled, t,
+                               img_ids, txt_ids), np.float32).ravel()
+    assert np.corrcoef(a, got.ravel())[0, 1] > 0.95

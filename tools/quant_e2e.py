@@ -16,6 +16,7 @@ Usage (run modes in separate processes — CPU and TPU backends):
   python tools/quant_e2e.py --mode bf16      # forces CPU, ~1h on 1 core
   python tools/quant_e2e.py --mode w8a8      # TPU
   python tools/quant_e2e.py --mode w4        # TPU
+  python tools/quant_e2e.py --mode w4a8      # TPU (int4 store, int8 MXU)
   python tools/quant_e2e.py --mode compare   # prints JSON
 Artifacts land in --out_dir (default /tmp/x2i_quant_e2e).
 """
@@ -67,7 +68,8 @@ def _host_pattern_tree(shapes, seed: int = 7):
 def _flat_cache_path(out_dir: str, quant) -> str:
     # w8 and w8a8 share the int8 kernel layout (activations quantize at
     # run time), so they share one cache file
-    layout = "w4" if quant == "w4" else ("w8" if quant else "bf16")
+    layout = (quant if quant in ("w4", "w4a8")
+              else ("w8" if quant else "bf16"))
     return os.path.join(out_dir, f"params_{layout}.npz")
 
 
@@ -98,7 +100,8 @@ def _host_params(shapes, quant, out_dir: str):
         t0 = time.time()
         # w8a8 shares the w8 kernel layout; activations quantize at run
         # time
-        host = quantize_tree(host, mode="w4" if quant == "w4" else "w8")
+        host = quantize_tree(
+            host, mode=quant if quant in ("w4", "w4a8") else "w8")
         print(f"quantized ({quant}): {time.time()-t0:.0f}s", flush=True)
     flat = {}
 
@@ -128,7 +131,7 @@ def _build(quant, on_cpu: bool, out_dir: str):
     from x2i_tpu.models.vae import AutoencoderKL
 
     cfg = FluxConfig(quantized=quant or False, guidance_embeds=False,
-                     fused_glue=quant == "w8a8",
+                     fused_glue=quant in ("w8a8", "w4a8"),
                      use_pallas_attention=not on_cpu)
     model = FluxTransformer2D(cfg)
     grid = PX // 8
@@ -233,7 +236,7 @@ def _sfx() -> str:
 def compare(out_dir: str):
     ref = np.load(os.path.join(out_dir, f"img_bf16{_sfx()}.npy"))
     out = {}
-    for mode in ("w8a8", "w4", "w8"):
+    for mode in ("w8a8", "w4", "w8", "w4a8"):
         p = os.path.join(out_dir, f"img_{mode}{_sfx()}.npy")
         if not os.path.exists(p):
             continue
@@ -254,7 +257,8 @@ def compare(out_dir: str):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=("bf16", "w8a8", "w8", "w4", "compare"))
+                    choices=("bf16", "w8a8", "w8", "w4",
+                             "w4a8", "compare"))
     ap.add_argument("--out_dir", default="/tmp/x2i_quant_e2e")
     ap.add_argument("--px", type=int, default=512)
     a = ap.parse_args(argv)

@@ -105,7 +105,7 @@ def _use_fused_glue(cfg, kd_target):
         return None
     if cfg.shard_activations or cfg.shard_sequence or cfg.ring_sequence:
         return None
-    return "quant" if cfg.quantized == "w8a8" else "ln"
+    return "quant" if cfg.quantized in ("w8a8", "w4a8") else "ln"
 
 
 def _roped_attention(cfg, q, k, v, rope, impl: str,

@@ -189,6 +189,104 @@ def _w4_bwd(res, dy):
 w4_matmul.defvjp(_w4_fwd, _w4_bwd)
 
 
+# --- int4-stored, int8-computed (w4a8) mode -------------------------------
+#
+# w4's capacity (6.0 GB DiT, fits next to a 7B encoder) at w8a8's MXU
+# rate: the flagship serving pair previously paid bf16 compute on the w4
+# weights (DESIGN.md round-5 w8-gap analysis: bf16 DiT matmuls are ~2x
+# the int8 time). Double quantization: the w4 per-(group, out) f32 scales
+# factor into a per-out f32 base times a per-(group, out) int multiplier
+# m in [1, 15]; the int8 MXU operand is then (int4 code x m) <= 120,
+# reconstructed on the VPU from half the HBM bytes of w8a8's weights.
+# Activations quantize per token exactly as w8a8. Weight quantization
+# error: the int4 step plus the m rounding (measured end-to-end in
+# tools/quant_e2e.py; m rounding adds <= 1/(2m) relative scale error).
+
+
+def quantize_kernel_w4a8(kernel: np.ndarray, group: int = 128):
+    """float (in, out) -> (pkernel int8 (in//2, out), mscale int8 (G, out)
+    in [1,15], scale f32 (out,)). Codes are re-rounded against the
+    REALIZED per-group scale m*s (not the ideal f32 group scale), so the
+    only extra error vs w4 is the scale snap itself."""
+    kernel = np.asarray(kernel, np.float32)
+    inn, out = kernel.shape[-2], kernel.shape[-1]
+    if inn % 2:
+        raise ValueError("w4a8 needs an even input dim")
+    g = _w4_group(inn, group)
+    groups = inn // g
+    k = kernel.reshape(*kernel.shape[:-2], groups, g, out)
+    gscale = np.maximum(np.abs(k).max(axis=-2), 1e-8) / 7.0  # (.., G, out)
+    s = gscale.max(axis=-2) / 15.0                           # (.., out)
+    m = np.clip(np.round(gscale / s[..., None, :]), 1, 15)   # (.., G, out)
+    real = m * s[..., None, :]                               # snapped scale
+    q = np.clip(np.round(k / real[..., :, None, :]), -7, 7).astype(np.int8)
+    return (pack_int4(q.reshape(kernel.shape)), m.astype(np.int8),
+            s.astype(np.float32))
+
+
+def _w4a8_weight_int8(pkernel, mscale):
+    """packed (in//2, out) + m (G, out) -> int8 codes (in, out), |.|<=120."""
+    wq = _unpack_int4(pkernel)                       # (..., in, out)
+    inn = wq.shape[-2]
+    g = inn // mscale.shape[-2]
+    m = jnp.repeat(mscale, g, axis=-2)               # (..., in, out)
+    return wq * m
+
+
+@jax.custom_vjp
+def w4a8_matmul(x, pkernel, mscale, scale):
+    """int4-stored weights at the int8 MXU rate: reconstruct int8 codes
+    (code4 * m) on the VPU, per-token-quantize the activation, int8 dot,
+    rescale by (a_scale x per-out scale). Accumulation bound:
+    120 * 127 * in <= 2^31 for in up to ~1.4e5. Same straight-through
+    backward as w8a8 (frozen weights, dx against the dequantized
+    kernel)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    w8 = _w4a8_weight_int8(pkernel, mscale)
+    acc = jax.lax.dot_general(
+        xq, w8, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * a_scale
+            * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def w4a8_matmul_prequant(xq, a_scale, pkernel, mscale, scale,
+                         out_dtype=None):
+    """w4a8 over an ALREADY-quantized activation (fused-glue output),
+    mirroring w8a8_matmul_prequant. Inference-only."""
+    w8 = _w4a8_weight_int8(pkernel, mscale)
+    acc = jax.lax.dot_general(
+        xq, w8, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * a_scale * scale.astype(jnp.float32)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def _w4a8_fwd(x, pkernel, mscale, scale):
+    return (w4a8_matmul(x, pkernel, mscale, scale),
+            (jnp.zeros((0,), x.dtype), pkernel, mscale, scale))
+
+
+def _w4a8_bwd(res, dy):
+    x_sentinel, pkernel, mscale, scale = res
+    x_dtype = x_sentinel.dtype
+    pk = jax.lax.optimization_barrier(pkernel)
+    w = (_w4a8_weight_int8(pk, mscale).astype(x_dtype)
+         * scale.astype(x_dtype))                            # (in, out)
+    dx = jax.lax.dot_general(
+        dy.astype(x_dtype), w, (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_dtype)
+    return (dx, np.zeros(pkernel.shape, jax.dtypes.float0),
+            np.zeros(mscale.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+w4a8_matmul.defvjp(_w4a8_fwd, _w4a8_bwd)
+
+
 class QuantDense(nn.Module):
     """Drop-in nn.Dense replacement storing int8 kernel + per-channel scale.
 
@@ -206,6 +304,12 @@ class QuantDense(nn.Module):
                bf16 MXU compute. Param layout: pkernel int8 (in//2, out),
                scale f32 (ceil(in/group), out). Capacity mode: half the
                weight bytes of w8.
+      "w4a8" — int4 storage, int8 MXU compute: per-(group, out) scales
+               factor into int multipliers m (1..15) times a per-out f32
+               base; the int8 operand (code4 * m, |.| <= 105) is
+               reconstructed on the VPU. Param layout: pkernel int8
+               (in//2, out), mscale int8 (G, out), scale f32 (out,).
+               Capacity of w4, throughput of w8a8.
     """
     features: int
     use_bias: bool = True
@@ -227,6 +331,44 @@ class QuantDense(nn.Module):
             else None
         in_features = (sum(c[0].shape[-1] for c in chunks) if prequant
                        else x.shape[-1])
+        if self.mode == "w4a8":
+            if in_features % 2:
+                raise ValueError("w4a8 needs an even input dim")
+            g = _w4_group(in_features, self.group)
+            pkernel = self.param(
+                "pkernel", nn.initializers.zeros,
+                (in_features // 2, self.features), jnp.int8)
+            mscale = self.param(
+                "mscale", nn.initializers.ones,
+                (in_features // g, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            if prequant:
+                # chunked fused-glue input: slice packed rows + groups
+                # per chunk (chunk boundaries are even and group-aligned
+                # at every DiT call site: 3072-multiples vs group 128)
+                y, off = None, 0
+                for xq, a_scale in chunks:
+                    f = xq.shape[-1]
+                    if off % (2 * g) or f % (2 * g) and f != in_features:
+                        raise ValueError("w4a8 chunk not group-aligned")
+                    pk_c = jax.lax.slice_in_dim(pkernel, off // 2,
+                                                (off + f) // 2, axis=0)
+                    m_c = jax.lax.slice_in_dim(mscale, off // g,
+                                               (off + f) // g, axis=0)
+                    part = w4a8_matmul_prequant(xq, a_scale, pk_c, m_c,
+                                                scale,
+                                                out_dtype=self.dtype)
+                    y = part if y is None else y + part
+                    off += f
+            else:
+                y = w4a8_matmul(x.astype(self.dtype), pkernel, mscale,
+                                scale)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(self.dtype)
+            return y
         if self.mode == "w4":
             if prequant:
                 raise ValueError("pre-quantized input requires mode w8a8")
@@ -372,6 +514,13 @@ def dequantize_tree(params) -> Dict:
             q = np.asarray(params["qkernel"], np.float32)
             kernel = q * np.asarray(params["scale"], np.float32)[..., None, :]
             new = {"kernel": kernel}
+        elif "pkernel" in params and "mscale" in params:
+            w8 = np.asarray(_w4a8_weight_int8(
+                jnp.asarray(params["pkernel"]),
+                jnp.asarray(params["mscale"])), np.float32)
+            kernel = w8 * np.asarray(params["scale"],
+                                     np.float32)[..., None, :]
+            new = {"kernel": kernel}
         elif "pkernel" in params and "scale" in params:
             kernel = np.asarray(_dequant_w4(
                 jnp.asarray(params["pkernel"]),
@@ -384,7 +533,8 @@ def dequantize_tree(params) -> Dict:
         else:
             return {k: dequantize_tree(v) for k, v in params.items()}
         for extra, ev in params.items():
-            if extra not in ("qkernel", "pkernel", "scale", "pre_scale"):
+            if extra not in ("qkernel", "pkernel", "scale", "pre_scale",
+                             "mscale"):
                 new[extra] = ev
         return new
     return params
@@ -412,7 +562,10 @@ def quantize_tree(params, mode: str = "w8", group: int = 128) -> Dict:
                     and not isinstance(val["kernel"], dict)
                     and getattr(val["kernel"], "ndim", 0) in (2, 3)):
                 k = np.asarray(val["kernel"])
-                if mode == "w4":
+                if mode == "w4a8":
+                    q, m, s = quantize_kernel_w4a8(k, group)
+                    new = {"pkernel": q, "mscale": m, "scale": s}
+                elif mode == "w4":
                     q, s = quantize_kernel_w4(k, group)
                     # (in,) for 2D kernels, (L, in) for scan-stacked
                     new = {"pkernel": q, "scale": s,
