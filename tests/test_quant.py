@@ -437,6 +437,11 @@ def test_w4a8_dense_prequant_chunks_match(rng):
         params, [prequant(x[:, :256]), prequant(x[:, 256:])]), np.float32)
     # chunked quantization sees per-chunk amax -> small rescale delta
     np.testing.assert_allclose(chunked, full, rtol=0.05, atol=0.5)
+    # a chunk STRADDLING the half-split boundary (like the real single
+    # block's 3072 | 12288 split of in=15360, half=7680)
+    straddle = np.asarray(layer.apply(
+        params, [prequant(x[:, :128]), prequant(x[:, 128:])]), np.float32)
+    np.testing.assert_allclose(straddle, full, rtol=0.05, atol=0.5)
 
 
 def test_w4a8_flux_matches_dequantized_fp(rng):

@@ -28,11 +28,12 @@ Measured 2026-08-18 (v5e, prefill 512, 1024^2 4-step):
                          bf16 this pair needs ~39 GiB (an 80 GB A100 in the
                          reference). Request time is DiT-bound: identical
                          to the 3B pair — the prefill rides along free.
-  7b w8a8 + w4a8 DiT   : 1990 ms/request (0.503 req/s)  — round 5: the
+  7b w8a8 + w4a8 DiT   : 1438 ms/request (0.695 req/s)  — round 5: the
                          int4-stored DiT computed on the int8 MXU
-                         (ops/quant.py w4a8; same 38 dB image quality as
-                         w4, measured quant_e2e) lifts the flagship pair
-                         +47% at the same memory footprint.
+                         (ops/quant.py w4a8 half-split packing; same
+                         38 dB image quality as w4, measured quant_e2e)
+                         lifts the flagship pair 2.03x at the same
+                         memory footprint.
 """
 import os
 import sys

@@ -207,60 +207,142 @@ def quantize_kernel_w4a8(kernel: np.ndarray, group: int = 128):
     """float (in, out) -> (pkernel int8 (in//2, out), mscale int8 (G, out)
     in [1,15], scale f32 (out,)). Codes are re-rounded against the
     REALIZED per-group scale m*s (not the ideal f32 group scale), so the
-    only extra error vs w4 is the scale snap itself."""
+    only extra error vs w4 is the scale snap itself.
+
+    Packing is HALF-SPLIT (not w4's row-interleave): packed row r holds
+    in-row r in its LOW nibble and in-row r + in/2 in its HIGH nibble.
+    Why: the matmul then reconstructs each half with pure elementwise
+    shifts (no stack/reshape interleave, no repeat), which XLA fuses
+    into the dot's operand read — the interleaved layout cost 698 ms of
+    relayout copies per 1024² image (profiled; the int8 dots themselves
+    run at w8a8's exact rate)."""
     kernel = np.asarray(kernel, np.float32)
     inn, out = kernel.shape[-2], kernel.shape[-1]
     if inn % 2:
         raise ValueError("w4a8 needs an even input dim")
-    g = _w4_group(inn, group)
+    g = _w4a8_group(inn, group)
     groups = inn // g
     k = kernel.reshape(*kernel.shape[:-2], groups, g, out)
     gscale = np.maximum(np.abs(k).max(axis=-2), 1e-8) / 7.0  # (.., G, out)
     s = gscale.max(axis=-2) / 15.0                           # (.., out)
     m = np.clip(np.round(gscale / s[..., None, :]), 1, 15)   # (.., G, out)
     real = m * s[..., None, :]                               # snapped scale
-    q = np.clip(np.round(k / real[..., :, None, :]), -7, 7).astype(np.int8)
-    return (pack_int4(q.reshape(kernel.shape)), m.astype(np.int8),
+    q = np.clip(np.round(k / real[..., :, None, :]), -7, 7) \
+        .astype(np.int8).reshape(kernel.shape)
+    half = inn // 2
+    lo = q[..., :half, :].astype(np.uint8) & 0x0F
+    hi = (q[..., half:, :].astype(np.uint8) & 0x0F) << 4
+    return ((lo | hi).view(np.int8), m.astype(np.int8),
             s.astype(np.float32))
 
 
+def _w4a8_group(in_features: int, group: int) -> int:
+    """w4a8 group size: like _w4_group, but the group COUNT must be even
+    (the half-split packing needs whole groups per half) — an odd count
+    halves the group size (inn even => g even, so this always lands)."""
+    g = _w4_group(in_features, group)
+    if (in_features // g) % 2:
+        g //= 2
+    return g
+
+
+def _w4a8_codes(pkernel):
+    """half-split packed (..., in//2, out) -> (lo, hi) int8 codes for
+    in-rows [0, in/2) and [in/2, in): two sign-extending shifts, no
+    reshape/interleave."""
+    lo = jnp.right_shift(jnp.left_shift(pkernel, 4), 4)
+    hi = jnp.right_shift(pkernel, 4)
+    return lo, hi
+
+
+def _w4a8_scaled(codes, ms):
+    """codes (..., rows, out) * per-group multipliers ms (..., Gp, out)
+    -> int8 (|.| <= 105). The (Gp, g, out) view is a contiguous split of
+    the rows axis, so both reshapes are layout-free and the whole thing
+    stays an elementwise producer the dot fusion can absorb."""
+    rows, out = codes.shape[-2], codes.shape[-1]
+    gp = ms.shape[-2]
+    c = codes.reshape(*codes.shape[:-2], gp, rows // gp, out)
+    c = c * ms[..., :, None, :]
+    return c.reshape(*codes.shape[:-2], rows, out)
+
+
 def _w4a8_weight_int8(pkernel, mscale):
-    """packed (in//2, out) + m (G, out) -> int8 codes (in, out), |.|<=120."""
-    wq = _unpack_int4(pkernel)                       # (..., in, out)
-    inn = wq.shape[-2]
-    g = inn // mscale.shape[-2]
-    m = jnp.repeat(mscale, g, axis=-2)               # (..., in, out)
-    return wq * m
+    """packed (in//2, out) + m (G, out) -> int8 codes (in, out), |.|<=105
+    (materialized form — tests/backward/dequant; the forward never builds
+    it)."""
+    lo, hi = _w4a8_codes(pkernel)
+    gh = mscale.shape[-2] // 2
+    return jnp.concatenate(
+        [_w4a8_scaled(lo, mscale[..., :gh, :]),
+         _w4a8_scaled(hi, mscale[..., gh:, :])], axis=-2)
+
+
+def _w4a8_acc(xq, pkernel, mscale, row0: int = 0):
+    """int32 accumulator for kernel input rows [row0, row0 + f) where f =
+    xq's lane count: up to two half-dots against elementwise-
+    reconstructed codes (each half's xq slice and packed-row slice are
+    contiguous — nothing to relayout; the shifts and group multiply fuse
+    into the dot's operand read). row0 > 0 serves the chunked
+    fused-glue path, whose chunks are row ranges of ONE kernel."""
+    half = pkernel.shape[-2]
+    inn = 2 * half
+    groups = mscale.shape[-2]
+    g = inn // groups
+    gh = groups // 2
+    a, b = row0, row0 + xq.shape[-1]
+    dims = (((xq.ndim - 1,), (0,)), ((), ()))
+
+    def rows(arr, lo_, hi_):
+        return jax.lax.slice_in_dim(arr, lo_, hi_, axis=arr.ndim - 2)
+
+    acc = None
+    lo_end = min(b, half)
+    if a < lo_end:
+        lo = jnp.right_shift(jnp.left_shift(rows(pkernel, a, lo_end), 4),
+                             4)
+        part = jax.lax.dot_general(
+            jax.lax.slice_in_dim(xq, 0, lo_end - a, axis=xq.ndim - 1),
+            _w4a8_scaled(lo, mscale[..., a // g:lo_end // g, :]), dims,
+            preferred_element_type=jnp.int32)
+        acc = part
+    if b > half:
+        hi_start = max(a, half)
+        hi = jnp.right_shift(rows(pkernel, hi_start - half, b - half), 4)
+        part = jax.lax.dot_general(
+            jax.lax.slice_in_dim(xq, hi_start - a, b - a,
+                                 axis=xq.ndim - 1),
+            _w4a8_scaled(hi, mscale[..., gh + (hi_start - half) // g:
+                                    gh + (b - half) // g, :]), dims,
+            preferred_element_type=jnp.int32)
+        acc = part if acc is None else acc + part
+    return acc
 
 
 @jax.custom_vjp
 def w4a8_matmul(x, pkernel, mscale, scale):
     """int4-stored weights at the int8 MXU rate: reconstruct int8 codes
-    (code4 * m) on the VPU, per-token-quantize the activation, int8 dot,
-    rescale by (a_scale x per-out scale). Accumulation bound:
-    120 * 127 * in <= 2^31 for in up to ~1.4e5. Same straight-through
-    backward as w8a8 (frozen weights, dx against the dequantized
-    kernel)."""
+    (code4 * m, |.| <= 105) on the VPU inside the dot fusions,
+    per-token-quantize the activation, two half int8 dots, rescale by
+    (a_scale x per-out scale). Accumulation bound: 105 * 127 * in/2 per
+    dot. Same straight-through backward as w8a8 (frozen weights, dx
+    against the dequantized kernel)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     a_scale = jnp.maximum(amax, 1e-6) / 127.0
     xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
-    w8 = _w4a8_weight_int8(pkernel, mscale)
-    acc = jax.lax.dot_general(
-        xq, w8, (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    acc = _w4a8_acc(xq, pkernel, mscale)
     return (acc.astype(jnp.float32) * a_scale
             * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def w4a8_matmul_prequant(xq, a_scale, pkernel, mscale, scale,
-                         out_dtype=None):
+                         row0: int = 0, out_dtype=None):
     """w4a8 over an ALREADY-quantized activation (fused-glue output),
-    mirroring w8a8_matmul_prequant. Inference-only."""
-    w8 = _w4a8_weight_int8(pkernel, mscale)
-    acc = jax.lax.dot_general(
-        xq, w8, (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    mirroring w8a8_matmul_prequant. row0: the kernel input row the
+    activation's first lane corresponds to (chunked call sites pass the
+    running offset; pkernel/mscale stay whole). Inference-only."""
+    acc = _w4a8_acc(xq, pkernel, mscale, row0)
     out = acc.astype(jnp.float32) * a_scale * scale.astype(jnp.float32)
     return out.astype(out_dtype) if out_dtype is not None else out
 
@@ -334,7 +416,7 @@ class QuantDense(nn.Module):
         if self.mode == "w4a8":
             if in_features % 2:
                 raise ValueError("w4a8 needs an even input dim")
-            g = _w4_group(in_features, self.group)
+            g = _w4a8_group(in_features, self.group)
             pkernel = self.param(
                 "pkernel", nn.initializers.zeros,
                 (in_features // 2, self.features), jnp.int8)
@@ -344,20 +426,18 @@ class QuantDense(nn.Module):
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             if prequant:
-                # chunked fused-glue input: slice packed rows + groups
-                # per chunk (chunk boundaries are even and group-aligned
-                # at every DiT call site: 3072-multiples vs group 128)
+                # chunked fused-glue input: each chunk is a row range of
+                # THIS kernel; _w4a8_acc resolves it to contiguous
+                # packed-row slices of the half-split layout (chunk
+                # boundaries are group-aligned at every DiT call site:
+                # 3072-multiples vs group 128)
                 y, off = None, 0
                 for xq, a_scale in chunks:
                     f = xq.shape[-1]
-                    if off % (2 * g) or f % (2 * g) and f != in_features:
+                    if off % g or f % g:
                         raise ValueError("w4a8 chunk not group-aligned")
-                    pk_c = jax.lax.slice_in_dim(pkernel, off // 2,
-                                                (off + f) // 2, axis=0)
-                    m_c = jax.lax.slice_in_dim(mscale, off // g,
-                                               (off + f) // g, axis=0)
-                    part = w4a8_matmul_prequant(xq, a_scale, pk_c, m_c,
-                                                scale,
+                    part = w4a8_matmul_prequant(xq, a_scale, pkernel,
+                                                mscale, scale, row0=off,
                                                 out_dtype=self.dtype)
                     y = part if y is None else y + part
                     off += f
