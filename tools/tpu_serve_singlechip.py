@@ -34,6 +34,12 @@ Measured 2026-08-18 (v5e, prefill 512, 1024^2 4-step):
                          38 dB image quality as w4, measured quant_e2e)
                          lifts the flagship pair 2.03x at the same
                          memory footprint.
+  3b w4a8 + w8a8 DiT   : 1278 ms/request (0.783 req/s)  — round 5: the
+                         w4a8 ENCODER (1.90 GiB vs 3.17 int8) frees the
+                         room the full-rate int8 DiT needs (13.13 GiB
+                         params + 2.16 temps fits) — 2.27x the round-4
+                         3B pair, which was stuck on the bf16-compute
+                         w4 DiT.
 """
 import os
 import sys
@@ -150,6 +156,20 @@ def main():
             .lower(flux_params, vae_params, noise, seq_s, pooled_s)
             .compile())
     print(f"compile: {time.perf_counter()-t0:.0f}s", flush=True)
+    total_args = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(
+            (lm_params, proj_params, flux_params, vae_params))) / 2**30
+    temps = 0.0
+    for ex in (jenc, jgen):
+        mem = ex.memory_analysis()
+        if mem is not None:
+            temps = max(temps, mem.temp_size_in_bytes / 2**30)
+    print(f"params {total_args:.2f} GiB + max program temps "
+          f"{temps:.2f} GiB", flush=True)
+    if total_args + temps > 15.5:
+        # a runtime RESOURCE_EXHAUSTED can wedge the relay — bail clean
+        print("over the 15.75 GiB HBM budget — not executing", flush=True)
+        sys.exit(3)
 
     def request():
         pooled, seq = jenc(lm_params, proj_params, ids)
