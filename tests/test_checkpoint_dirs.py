@@ -168,16 +168,18 @@ def test_cli_text2image_from_dirs(family_pipeline, tmp_path):
     assert im.size == (64, 64)
 
 
-def test_cli_quantize_flag(family_pipeline, tmp_path):
-    """--quantize w8a8 builds the int8-activation pipeline end to end
-    (the serving default is w8; flagship single-chip uses w4)."""
+@pytest.mark.parametrize("mode", ["w8a8", "w4a8"])
+def test_cli_quantize_flag(family_pipeline, tmp_path, mode):
+    """--quantize builds the int8-activation / int4-stored pipelines end
+    to end (the serving default is w8; flagship single-chip uses
+    w4a8)."""
     from x2i_tpu.cli import main
     _, (flux, mllm, proj, model) = family_pipeline("internvl")
-    out = str(tmp_path / "q.png")
+    out = str(tmp_path / f"q_{mode}.png")
     rc = main(["--task", "text2image", "--prompt", "a pier",
                "--flux_path", flux, "--mllm_path", mllm,
                "--proj_path", proj, "--model", model,
-               "--quantize", "w8a8",
+               "--quantize", mode,
                "--num_steps", "2", "--height", "64", "--width", "64",
                "--output", out])
     assert rc in (0, None) and os.path.exists(out)

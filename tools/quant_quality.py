@@ -172,6 +172,7 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
     w8 = run("w8")
     w8a8 = run("w8a8")
     w4 = run("w4")
+    w4a8 = run("w4a8")
 
     # single-forward drift vs 4-step drift -> amplification per step
     def fwd(quant):
@@ -195,6 +196,8 @@ def end_to_end_study(rng, px, layers=4, single_layers=8):
             "w8a8_rel_err": rel_err(w8a8, ref),
             "w8a8_corr": corr(w8a8, ref),
             "w4_rel_err": rel_err(w4, ref), "w4_corr": corr(w4, ref),
+            "w4a8_rel_err": rel_err(w4a8, ref),
+            "w4a8_corr": corr(w4a8, ref),
         },
     }
 

@@ -51,12 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", choices=("tiny",), default=None,
                    help="run with random weights at the given scale "
                         "(no checkpoints needed)")
-    p.add_argument("--quantize", choices=("none", "w8", "w8a8", "w4"),
+    p.add_argument("--quantize",
+                   choices=("none", "w8", "w8a8", "w4", "w4a8"),
                    default="w8",
                    help="DiT weight quantization for single-chip "
                         "serving: w8 near-lossless (default), w8a8 "
-                        "fastest, w4 smallest (fits next to a 7B "
-                        "encoder), none = bf16 (needs >16 GB)")
+                        "fastest, w4a8 smallest-at-speed (int4 store, "
+                        "int8 MXU — fits next to a 7B encoder), "
+                        "none = bf16 (needs >16 GB)")
     p.add_argument("--output", type=str, default="output.png")
     return p
 
@@ -70,6 +72,9 @@ def build_multiturn_parser() -> argparse.ArgumentParser:
                    help="fixed per-session seed (inference_multi_turn.py "
                         "uses 0 so turns refine the same trajectory)")
     p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--quantize",
+                   choices=("none", "w8", "w8a8", "w4", "w4a8"),
+                   default="w8")
     p.add_argument("--flux_path", type=str, default=None)
     p.add_argument("--mllm_path", type=str, default=None)
     p.add_argument("--proj_path", type=str, default=None)
@@ -100,7 +105,8 @@ def multiturn_main(argv=None) -> int:
             mllm_path=args.mllm_path, proj_path=args.proj_path,
             num_steps=args.num_steps, height=args.height,
             width=args.width, seed=args.seed,
-            max_new_tokens=args.max_new_tokens)
+            max_new_tokens=args.max_new_tokens,
+            quantized=False if args.quantize == "none" else args.quantize)
 
     from PIL import Image
     turn = 0

@@ -118,8 +118,8 @@ def build_session_from_checkpoints(model: str, flux_path: str,
                                    mllm_path: str, proj_path: str,
                                    num_steps: int = 4, height: int = 1024,
                                    width: int = 1024, seed: int = 0,
-                                   max_new_tokens: int = 128
-                                   ) -> MultiTurnSession:
+                                   max_new_tokens: int = 128,
+                                   quantized="w8") -> MultiTurnSession:
     """Checkpoint-backed multi-turn session (Qwen2-family LMs). Text-only
     chat turns with the model's own chat template; images each turn are
     the reference script's fixed-path variant and can be added via the
@@ -131,7 +131,7 @@ def build_session_from_checkpoints(model: str, flux_path: str,
     pipe = build_pipeline_from_checkpoints(
         model=model, flux_path=flux_path, mllm_path=mllm_path,
         proj_path=proj_path, num_steps=num_steps, height=height,
-        width=width, seed=seed)
+        width=width, seed=seed, quantized=quantized)
     tok = AutoTokenizer.from_pretrained(mllm_path, trust_remote_code=True)
 
     def tokenize(history: List[ChatTurn], user_msg: str):
