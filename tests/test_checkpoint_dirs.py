@@ -73,6 +73,18 @@ def test_video2image_through_prep(family_pipeline):
     assert out.shape == (1, 64, 64, 3)
 
 
+def test_use_answer_from_checkpoint_dirs(family_pipeline):
+    """reasoning2image through the real checkpoint path: --use_answer
+    decodes an answer with the fixture tokenizer's eos and conditions on
+    cat(prefill, answer) hidden states (inference_qwenvl.py:121-132).
+    The conditioning sequence grows past 512, so this also pins the
+    proj/DiT txt-length flexibility of the assembled pipeline."""
+    pipe, _ = family_pipeline("qwenvl")
+    out = pipe.run_task("text2image", prompt="why is the sky blue?",
+                        use_answer=True, **GEN)
+    assert out.shape == (1, 64, 64, 3)
+
+
 def test_minicpm_audio_from_checkpoint_dirs(family_pipeline):
     pipe, _ = family_pipeline("minicpm")
     r = np.random.default_rng(0)
